@@ -1,0 +1,375 @@
+"""Diffusion math: schedules, Gaussian + multinomial ops, scan samplers.
+
+Parity targets:
+- ``GaussianDiffusion`` / ``DiffusionDecoder`` (shallow mel diffusion,
+  ``modules/diff/shallow_diffusion_tts.py:68-307``),
+- ``GaussianMultinomialDiffusion`` (joint f0 + uv diffusion,
+  ``modules/diff/gaussian_multinomial_diffusion.py:208-942``).
+
+Design: all schedule buffers are precomputed numpy constants; the reference's
+Python sampling loops (100 denoiser calls under ``tqdm``) become single
+``lax.scan``s over stacked schedule slices, so the whole reverse process
+compiles to one XLA while-loop with the WaveNet denoiser fused inside.
+Samplers are *pure functions* taking a denoiser callable, which keeps them
+independent of flax module plumbing (the model passes bound apply closures).
+
+Log-space categorical ops use float32 with the reference's 1e-30/1e-40
+epsilons (gmd.py:113-147).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Schedule
+# ---------------------------------------------------------------------------
+
+class Schedule(NamedTuple):
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+    alphas_cumprod_prev: np.ndarray
+    sqrt_alphas_cumprod: np.ndarray
+    sqrt_one_minus_alphas_cumprod: np.ndarray
+    sqrt_recip_alphas_cumprod: np.ndarray
+    sqrt_recipm1_alphas_cumprod: np.ndarray
+    posterior_variance: np.ndarray
+    posterior_log_variance_clipped: np.ndarray
+    posterior_mean_coef1: np.ndarray
+    posterior_mean_coef2: np.ndarray
+    # multinomial (log-domain) buffers
+    log_alpha: np.ndarray
+    log_1_min_alpha: np.ndarray
+    log_cumprod_alpha: np.ndarray
+    log_1_min_cumprod_alpha: np.ndarray
+
+    @property
+    def num_timesteps(self) -> int:
+        return len(self.betas)
+
+
+def linear_beta_schedule(timesteps: int, max_beta: float) -> np.ndarray:
+    """Reference linear schedule (shallow_diffusion_tts.py:41-46)."""
+    return np.linspace(1e-4, max_beta, timesteps)
+
+
+def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
+    steps = timesteps + 1
+    x = np.linspace(0, steps, steps)
+    ac = np.cos(((x / steps) + s) / (1 + s) * np.pi * 0.5) ** 2
+    ac = ac / ac[0]
+    betas = 1 - (ac[1:] / ac[:-1])
+    return np.clip(betas, 0, 0.999)
+
+
+def make_schedule(timesteps: int, max_beta: float,
+                  schedule_type: str = "linear") -> Schedule:
+    if schedule_type == "linear":
+        betas = linear_beta_schedule(timesteps, max_beta)
+    elif schedule_type == "cosine":
+        betas = cosine_beta_schedule(timesteps)
+    else:
+        raise ValueError(schedule_type)
+    betas = betas.astype(np.float64)
+    alphas = 1.0 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.append(1.0, ac[:-1])
+    post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+    log_alpha = np.log(alphas)
+    log_cumprod_alpha = np.cumsum(log_alpha)
+
+    def log_1_min_a(a):
+        return np.log(1 - np.exp(a) + 1e-40)
+
+    f32 = lambda x: x.astype(np.float32)  # noqa: E731
+    return Schedule(
+        betas=f32(betas),
+        alphas_cumprod=f32(ac),
+        alphas_cumprod_prev=f32(ac_prev),
+        sqrt_alphas_cumprod=f32(np.sqrt(ac)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - ac)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / ac)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / ac - 1)),
+        posterior_variance=f32(post_var),
+        posterior_log_variance_clipped=f32(np.log(np.maximum(post_var, 1e-20))),
+        posterior_mean_coef1=f32(betas * np.sqrt(ac_prev) / (1.0 - ac)),
+        posterior_mean_coef2=f32((1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac)),
+        log_alpha=f32(log_alpha),
+        log_1_min_alpha=f32(log_1_min_a(log_alpha)),
+        log_cumprod_alpha=f32(log_cumprod_alpha),
+        log_1_min_cumprod_alpha=f32(log_1_min_a(log_cumprod_alpha)),
+    )
+
+
+def _extract(buf: np.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather schedule entries at t [B] and reshape to broadcast over ndim."""
+    out = jnp.asarray(buf)[t]
+    return out.reshape(out.shape + (1,) * (ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# Gaussian half
+# ---------------------------------------------------------------------------
+
+def gaussian_q_sample(sched: Schedule, x_start: jnp.ndarray, t: jnp.ndarray,
+                      noise: jnp.ndarray) -> jnp.ndarray:
+    return (_extract(sched.sqrt_alphas_cumprod, t, x_start.ndim) * x_start +
+            _extract(sched.sqrt_one_minus_alphas_cumprod, t, x_start.ndim)
+            * noise)
+
+
+def predict_start_from_noise(sched: Schedule, x_t: jnp.ndarray,
+                             t: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+    return (_extract(sched.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t -
+            _extract(sched.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise)
+
+
+def q_posterior(sched: Schedule, x_start: jnp.ndarray, x_t: jnp.ndarray,
+                t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    mean = (_extract(sched.posterior_mean_coef1, t, x_t.ndim) * x_start +
+            _extract(sched.posterior_mean_coef2, t, x_t.ndim) * x_t)
+    log_var = _extract(sched.posterior_log_variance_clipped, t, x_t.ndim)
+    return mean, log_var
+
+
+def gaussian_p_sample(sched: Schedule, x: jnp.ndarray, t: jnp.ndarray,
+                      noise_pred: jnp.ndarray, rng: jax.Array,
+                      clip: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = (-1.0, 1.0)
+                      ) -> jnp.ndarray:
+    """One reverse step x_t -> x_{t-1} with x0-clipping."""
+    x_recon = predict_start_from_noise(sched, x, t, noise_pred)
+    if clip is not None:
+        x_recon = jnp.clip(x_recon, clip[0], clip[1])
+    mean, log_var = q_posterior(sched, x_recon, x, t)
+    noise = jax.random.normal(rng, x.shape, x.dtype)
+    nonzero = (t > 0).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+    return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+
+# ---------------------------------------------------------------------------
+# Multinomial half (log-space, 2 classes for uv)
+# ---------------------------------------------------------------------------
+
+def index_to_log_onehot(x: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """int [B, T] -> log-onehot [B, K, T] (class axis at dim 1, as reference)."""
+    oh = jax.nn.one_hot(x, num_classes, axis=1)
+    return jnp.log(jnp.clip(oh, 1e-30, None))
+
+
+def log_onehot_to_index(log_x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(log_x, axis=1)
+
+
+def log_add_exp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.maximum(a, b)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+
+
+def cat_q_pred_one_timestep(sched: Schedule, log_x_t: jnp.ndarray,
+                            t: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    log_alpha_t = _extract(sched.log_alpha, t, log_x_t.ndim)
+    log_1_min_alpha_t = _extract(sched.log_1_min_alpha, t, log_x_t.ndim)
+    return log_add_exp(log_x_t + log_alpha_t,
+                       log_1_min_alpha_t - np.log(num_classes))
+
+
+def cat_q_pred(sched: Schedule, log_x_start: jnp.ndarray, t: jnp.ndarray,
+               num_classes: int) -> jnp.ndarray:
+    log_ca = _extract(sched.log_cumprod_alpha, t, log_x_start.ndim)
+    log_1_min_ca = _extract(sched.log_1_min_cumprod_alpha, t, log_x_start.ndim)
+    return log_add_exp(log_x_start + log_ca,
+                       log_1_min_ca - np.log(num_classes))
+
+
+def cat_q_posterior(sched: Schedule, log_x_start: jnp.ndarray,
+                    log_x_t: jnp.ndarray, t: jnp.ndarray,
+                    num_classes: int) -> jnp.ndarray:
+    """q(x_{t-1} | x_t, x0-distribution) in log space (gmd.py:374-396)."""
+    t_minus_1 = jnp.maximum(t - 1, 0)
+    log_ev = cat_q_pred(sched, log_x_start, t_minus_1, num_classes)
+    t_b = t.reshape((-1,) + (1,) * (log_x_start.ndim - 1))
+    log_ev = jnp.where(t_b == 0, log_x_start, log_ev)
+    unnormed = log_ev + cat_q_pred_one_timestep(sched, log_x_t, t, num_classes)
+    return unnormed - jax.nn.logsumexp(unnormed, axis=1, keepdims=True)
+
+
+def cat_p_pred(sched: Schedule, model_logits: jnp.ndarray,
+               log_x_t: jnp.ndarray, t: jnp.ndarray,
+               num_classes: int) -> jnp.ndarray:
+    """x0-parameterization: softmax(model) -> q_posterior."""
+    log_x_recon = jax.nn.log_softmax(model_logits, axis=1)
+    return cat_q_posterior(sched, log_x_recon, log_x_t, t, num_classes)
+
+
+def log_sample_categorical(rng: jax.Array, logits: jnp.ndarray,
+                           num_classes: int) -> jnp.ndarray:
+    """Gumbel-max sampling in log space (gmd.py:447-452)."""
+    uniform = jax.random.uniform(rng, logits.shape)
+    gumbel = -jnp.log(-jnp.log(uniform + 1e-30) + 1e-30)
+    sample = jnp.argmax(gumbel + logits, axis=1)
+    return index_to_log_onehot(sample, num_classes)
+
+
+def multinomial_kl(log_p1: jnp.ndarray, log_p2: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.exp(log_p1) * (log_p1 - log_p2)).sum(axis=1)
+
+
+def _masked_time_mean(x: jnp.ndarray, nonpadding: jnp.ndarray) -> jnp.ndarray:
+    """sum over time of x*mask / sum mask, per batch (gmd.py:99-105)."""
+    return (x * nonpadding).sum(-1) / jnp.maximum(nonpadding.sum(-1), 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Training losses
+# ---------------------------------------------------------------------------
+
+def gm_mixed_loss(denoise_fn: Callable, sched: Schedule, f0: jnp.ndarray,
+                  uv: jnp.ndarray, cond: jnp.ndarray, nonpadding: jnp.ndarray,
+                  rng: jax.Array, num_classes: int = 2
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Joint training loss (gmd.py:583-625).
+
+    f0: [B, T, 1] minmax-normed; uv: [B, T] float 0/1; cond: [B, T, H].
+    denoise_fn(f0_t [B,T,1], uv_t int [B,T], t [B]) -> [B, T, 1+K].
+    Returns (multinomial_loss, gaussian_loss) scalars.
+    """
+    b = f0.shape[0]
+    T = sched.num_timesteps
+    rng_t, rng_noise, rng_cat = jax.random.split(rng, 3)
+    t = jax.random.randint(rng_t, (b,), 0, T)
+    pt = jnp.full((b,), 1.0 / T)
+
+    noise = jax.random.normal(rng_noise, f0.shape, f0.dtype)
+    f0_t = gaussian_q_sample(sched, f0, t, noise)
+
+    log_uv = index_to_log_onehot(uv.astype(jnp.int32), num_classes)  # [B,K,T]
+    log_uv_t = log_sample_categorical(
+        rng_cat, cat_q_pred(sched, log_uv, t, num_classes), num_classes)
+    uv_t = log_onehot_to_index(log_uv_t)
+
+    out = denoise_fn(f0_t, uv_t, t)          # [B, T, 1+K]
+    eps_pred = out[..., :1]                  # [B, T, 1]
+    uv_logits = jnp.swapaxes(out[..., 1:], 1, 2)  # [B, K, T]
+
+    # multinomial variational bound (vb_stochastic)
+    log_true = cat_q_posterior(sched, log_uv, log_uv_t, t, num_classes)
+    log_model = cat_p_pred(sched, uv_logits, log_uv_t, t, num_classes)
+    kl = _masked_time_mean(multinomial_kl(log_true, log_model), nonpadding)
+    decoder_nll = -_masked_time_mean(
+        (jnp.exp(log_uv) * log_model).sum(axis=1), nonpadding)
+    at0 = (t == 0).astype(kl.dtype)
+    lt = at0 * decoder_nll + (1 - at0) * kl
+
+    log_qxT = cat_q_pred(sched, log_uv,
+                         jnp.full((b,), T - 1, dtype=jnp.int32), num_classes)
+    log_half = jnp.full_like(log_qxT, -np.log(num_classes))
+    kl_prior = _masked_time_mean(multinomial_kl(log_qxT, log_half), nonpadding)
+    loss_multi = (lt / pt + kl_prior).mean()
+
+    # gaussian L1 on eps, masked to voiced nonpadding frames (gmd.py:294-296)
+    mask = (nonpadding * (uv == 0).astype(nonpadding.dtype))[..., None]
+    loss_gauss = (jnp.abs(noise - eps_pred) * mask).sum() / \
+        jnp.maximum((mask + 1e-8).sum(), 1e-8)
+    return loss_multi, loss_gauss
+
+
+def shallow_p_losses(denoise_fn: Callable, sched: Schedule,
+                     x_start: jnp.ndarray, cond: jnp.ndarray, rng: jax.Array,
+                     K_step: int,
+                     nonpadding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mel diffusion training loss (shallow_diffusion_tts.py:206-224,291-295).
+
+    x_start: normed mel [B, T, M]; denoise_fn(x_t, t) -> eps.
+    """
+    b = x_start.shape[0]
+    rng_t, rng_noise = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (b,), 0, K_step)
+    noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
+    x_t = gaussian_q_sample(sched, x_start, t, noise)
+    eps_pred = denoise_fn(x_t, t)
+    err = jnp.abs(noise - eps_pred)
+    if nonpadding is not None:
+        mask = nonpadding[..., None]
+        return (err * mask).sum() / jnp.maximum(mask.sum() * x_start.shape[-1],
+                                                1e-8)
+    return err.mean()
+
+
+# ---------------------------------------------------------------------------
+# Samplers (lax.scan; ~100 denoiser calls compiled into one loop)
+# ---------------------------------------------------------------------------
+
+def sample_gm(denoise_fn: Callable, sched: Schedule, cond_T: int, batch: int,
+              rng: jax.Array,
+              dyn_clip: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+              num_classes: int = 2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reverse joint sampling (gmd.py:921-942) -> (f0 [B,T,1], uv [B,T]).
+
+    dyn_clip: optional (lower, upper) [B, T, 1] bounds for x0 (MIDI +/- 3
+    semitones in normed log2-Hz space, stylesinger.py:275-283).
+    """
+    T = sched.num_timesteps
+    rng, rng_f0, rng_uv = jax.random.split(rng, 3)
+    z_f0 = jax.random.normal(rng_f0, (batch, cond_T, 1))
+    log_z_uv = log_sample_categorical(
+        rng_uv, jnp.zeros((batch, num_classes, cond_T)), num_classes)
+
+    clip = dyn_clip if dyn_clip is not None else (-1.0, 1.0)
+
+    def step(carry, inp):
+        z_f0, log_z_uv = carry
+        t_scalar, rng_i = inp
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        rng_g, rng_c = jax.random.split(rng_i)
+        out = denoise_fn(z_f0, log_onehot_to_index(log_z_uv), t)
+        eps_pred = out[..., :1]
+        uv_logits = jnp.swapaxes(out[..., 1:], 1, 2)
+        z_f0 = gaussian_p_sample(sched, z_f0, t, eps_pred, rng_g, clip=clip)
+        log_model = cat_p_pred(sched, uv_logits, log_z_uv, t, num_classes)
+        log_z_uv = log_sample_categorical(rng_c, log_model, num_classes)
+        return (z_f0, log_z_uv), None
+
+    ts = jnp.arange(T - 1, -1, -1)
+    rngs = jax.random.split(rng, T)
+    (z_f0, log_z_uv), _ = jax.lax.scan(step, (z_f0, log_z_uv), (ts, rngs))
+    return z_f0, log_onehot_to_index(log_z_uv).astype(jnp.float32)
+
+
+def sample_shallow(denoise_fn: Callable, sched: Schedule,
+                   coarse_norm: jnp.ndarray, rng: jax.Array,
+                   K_step: int) -> jnp.ndarray:
+    """Shallow diffusion: q_sample the coarse mel to t=K-1 then K reverse
+    steps (shallow_diffusion_tts.py:297-306). coarse_norm: [B, T, M]."""
+    b = coarse_norm.shape[0]
+    rng, rng_q = jax.random.split(rng)
+    t0 = jnp.full((b,), K_step - 1, dtype=jnp.int32)
+    noise0 = jax.random.normal(rng_q, coarse_norm.shape, coarse_norm.dtype)
+    x = gaussian_q_sample(sched, coarse_norm, t0, noise0)
+
+    def step(x, inp):
+        t_scalar, rng_i = inp
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        eps_pred = denoise_fn(x, t)
+        x = gaussian_p_sample(sched, x, t, eps_pred, rng_i, clip=(-1.0, 1.0))
+        return x, None
+
+    ts = jnp.arange(K_step - 1, -1, -1)
+    rngs = jax.random.split(rng, K_step)
+    x, _ = jax.lax.scan(step, x, (ts, rngs))
+    return x
+
+
+def norm_spec(x: jnp.ndarray, spec_min: jnp.ndarray,
+              spec_max: jnp.ndarray) -> jnp.ndarray:
+    return (x - spec_min) / (spec_max - spec_min) * 2 - 1
+
+
+def denorm_spec(x: jnp.ndarray, spec_min: jnp.ndarray,
+                spec_max: jnp.ndarray) -> jnp.ndarray:
+    return (x + 1) / 2 * (spec_max - spec_min) + spec_min

@@ -1,0 +1,55 @@
+import os
+
+from stylesinger_tpu.config import (
+    Config, apply_overrides, load_config, save_config, tiny_test_config)
+
+
+def test_defaults_complete():
+    cfg = load_config()
+    assert cfg.hidden_size == 256
+    assert cfg.audio_sample_rate == 48000
+    assert cfg.f0_gen == "gmdiff"
+    assert cfg.decoder == "diffsinger"
+    assert len(cfg.spec_min) == 80 and len(cfg.spec_max) == 80
+
+
+def test_yaml_cascade(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("hidden_size: 128\nlr: 1.0\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"base_config: [{base}]\nlr: 3.0\n")
+    cfg = load_config(str(child))
+    assert cfg.hidden_size == 128  # from base
+    assert cfg.lr == 3.0           # child overrides
+
+
+def test_cascade_cycle_detected(tmp_path):
+    a = tmp_path / "a.yaml"
+    b = tmp_path / "b.yaml"
+    a.write_text(f"base_config: [{b}]\n")
+    b.write_text(f"base_config: [{a}]\n")
+    import pytest
+    with pytest.raises(ValueError):
+        load_config(str(a))
+
+
+def test_overrides_coercion():
+    cfg = Config(a=1, nested={"x": 1})
+    apply_overrides(cfg, "a=2,b=true,c=1.5,nested.x=7,d=[1,2]")
+    assert cfg.a == 2 and cfg["b"] is True and cfg["c"] == 1.5
+    assert cfg.nested["x"] == 7 and cfg["d"] == [1, 2]
+
+
+def test_save_roundtrip(tmp_path):
+    cfg = tiny_test_config()
+    path = save_config(cfg, str(tmp_path))
+    assert os.path.exists(path)
+    cfg2 = load_config(path)
+    assert cfg2.hidden_size == cfg.hidden_size
+
+
+def test_attribute_access():
+    cfg = tiny_test_config()
+    assert cfg.hidden_size == cfg["hidden_size"]
+    cfg2 = cfg.replace(hidden_size=8)
+    assert cfg2.hidden_size == 8 and cfg.hidden_size == 32

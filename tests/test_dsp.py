@@ -1,0 +1,208 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stylesinger_tpu.dsp import (
+    autocorr_pitch, cont_lf0_np, cwt_mexican_hat, denorm_f0, expand_states,
+    f0_to_coarse, inverse_cwt, mel2ph_from_durs_np, mel2ph_to_dur,
+    mel_filterbank, norm_f0, norm_interp_f0_np, stft_magnitude, wav2mel,
+    wav2spec_np,
+)
+
+
+# ---------------------------------------------------------------- mel / stft
+
+def test_stft_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    wav = rng.standard_normal(48000).astype(np.float32)
+    ours = np.asarray(stft_magnitude(jnp.asarray(wav), 1024, 256, 1024))
+    ref = torch.stft(
+        torch.from_numpy(wav), n_fft=1024, hop_length=256, win_length=1024,
+        window=torch.hann_window(1024, periodic=True), center=True,
+        pad_mode="constant", return_complex=True).abs().numpy().T
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_mel_filterbank_properties():
+    basis = mel_filterbank(48000, 1024, 80, 20.0, 24000.0)
+    assert basis.shape == (80, 513)
+    assert (basis >= 0).all()
+    # every filter has nonzero area; filters tile the band
+    assert (basis.sum(1) > 0).all()
+    # Slaney norm: peak decreases with center frequency (wider triangles)
+    assert basis[0].max() > basis[-1].max()
+
+
+def test_wav2mel_jax_matches_numpy(rng):
+    wav = rng.standard_normal(48256).astype(np.float32) * 0.1
+    ref = wav2spec_np(wav)
+    ours = np.asarray(wav2mel(jnp.asarray(wav)))
+    assert ours.shape == ref["mel"].shape
+    np.testing.assert_allclose(ours, ref["mel"], atol=2e-3, rtol=1e-3)
+    assert len(ref["wav"]) == ref["mel"].shape[0] * 256
+
+
+def test_wav2mel_batched(rng):
+    wav = rng.standard_normal((2, 4096)).astype(np.float32)
+    mel = np.asarray(wav2mel(jnp.asarray(wav)))
+    assert mel.shape == (2, 17, 80)
+    single = np.asarray(wav2mel(jnp.asarray(wav[0])))
+    np.testing.assert_allclose(mel[0], single, atol=1e-4)
+
+
+def test_real_test_wav_mel():
+    from stylesinger_tpu.dsp.mel import load_wav
+    wav = load_wav("/root/reference/test/test.wav", 48000)
+    assert len(wav) > 48000
+    out = wav2spec_np(wav[:48000 * 2])
+    assert out["mel"].shape[1] == 80
+    assert np.isfinite(out["mel"]).all()
+    assert out["mel"].min() >= -6.0 - 1e-6  # log10(1e-6) floor
+
+
+# ---------------------------------------------------------------- f0 utils
+
+def test_f0_to_coarse_range():
+    f0 = jnp.asarray([0.0, 50.0, 100.0, 440.0, 1100.0, 2000.0])
+    c = np.asarray(f0_to_coarse(f0))
+    assert c.min() >= 1 and c.max() <= 255
+    assert c[0] == 1          # unvoiced -> 1
+    assert c[1] == 1          # f0_min -> 1
+    assert c[4] == 255        # f0_max -> 255
+    assert (np.diff(c) >= 0).all()
+
+
+def test_f0_to_coarse_matches_reference_formula(rng):
+    f0 = rng.uniform(60, 1000, size=64).astype(np.float32)
+    ours = np.asarray(f0_to_coarse(jnp.asarray(f0)))
+    # reference numpy formula (utils/pitch_utils.py:22-31)
+    f0_mel = 1127 * np.log(1 + f0 / 700)
+    f0_mel_min = 1127 * np.log(1 + 50 / 700)
+    f0_mel_max = 1127 * np.log(1 + 1100 / 700)
+    f0_mel[f0_mel > 0] = (f0_mel[f0_mel > 0] - f0_mel_min) * 254 / (
+        f0_mel_max - f0_mel_min) + 1
+    f0_mel[f0_mel <= 1] = 1
+    f0_mel[f0_mel > 255] = 255
+    # torch semantics: (x + 0.5).long() == floor(x + 0.5); the reference's
+    # numpy twin uses rint (round-half-even) which differs only at exact .5
+    ref = np.floor(f0_mel + 0.5).astype(np.int64)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_norm_denorm_f0_roundtrip(rng):
+    f0 = rng.uniform(80, 800, size=32).astype(np.float32)
+    uv = (rng.uniform(size=32) > 0.8).astype(np.float32)
+    normed = norm_f0(jnp.asarray(f0), jnp.asarray(uv))
+    denormed = np.asarray(denorm_f0(normed, jnp.asarray(uv)))
+    np.testing.assert_allclose(denormed[uv == 0], f0[uv == 0], rtol=1e-4)
+    assert (denormed[uv > 0] == 0).all()
+
+
+def test_norm_interp_f0():
+    f0 = np.array([0, 0, 100, 0, 200, 0, 0], dtype=np.float32)
+    normed, uv = norm_interp_f0_np(f0)
+    assert uv.tolist() == [1, 1, 0, 1, 0, 1, 1]
+    assert np.isfinite(normed).all()
+    # interior gap interpolated between log2(100) and log2(200)
+    assert np.log2(100) < normed[3] < np.log2(200)
+
+
+# ---------------------------------------------------------------- alignment
+
+def test_mel2ph_from_durs():
+    hop, sr = 256, 48000
+    durs = np.array([0.1, 0.2, 0.05])
+    n_frames = int(round(0.35 * sr / hop)) + 2
+    m = mel2ph_from_durs_np(durs, n_frames, hop_size=hop, sample_rate=sr)
+    assert m[0] == 1 and m.max() == 3
+    # frame counts approximately proportional to durations
+    c = [(m == i + 1).sum() for i in range(3)]
+    assert abs(c[0] - 0.1 * sr / hop) <= 1
+    assert abs(c[1] - 0.2 * sr / hop) <= 1
+
+
+def test_mel2ph_to_dur_roundtrip():
+    m = jnp.asarray([[1, 1, 2, 2, 2, 3, 0, 0]])
+    dur = np.asarray(mel2ph_to_dur(m, 4))
+    np.testing.assert_array_equal(dur, [[2, 3, 1, 0]])
+
+
+def test_expand_states():
+    h = jnp.arange(12, dtype=jnp.float32).reshape(1, 3, 4)
+    m = jnp.asarray([[1, 1, 3, 0]])
+    out = np.asarray(expand_states(h, m))
+    np.testing.assert_array_equal(out[0, 0], h[0, 0])
+    np.testing.assert_array_equal(out[0, 2], h[0, 2])
+    np.testing.assert_array_equal(out[0, 3], np.zeros(4))
+
+
+# ---------------------------------------------------------------- pitch
+
+def _sine(f0, sr=24000, dur=0.6):
+    t = np.arange(int(sr * dur)) / sr
+    return np.sin(2 * np.pi * f0 * t).astype(np.float32)
+
+
+def test_autocorr_pitch_pure_tone():
+    sr, hop = 24000, 128
+    for f0_true in (110.0, 220.0, 440.0):
+        wav = _sine(f0_true, sr)
+        f0 = np.asarray(autocorr_pitch(
+            jnp.asarray(wav), hop_size=hop, sample_rate=sr))
+        mid = f0[10:-10]
+        voiced = mid[mid > 0]
+        assert len(voiced) > 0.9 * len(mid)
+        assert abs(np.median(voiced) - f0_true) < 0.02 * f0_true
+
+
+def test_autocorr_pitch_silence_is_unvoiced():
+    sr, hop = 24000, 128
+    wav = np.zeros(sr // 2, dtype=np.float32)
+    wav[:100] = 1e-4  # avoid a fully-degenerate global peak
+    f0 = np.asarray(autocorr_pitch(
+        jnp.asarray(wav), hop_size=hop, sample_rate=sr))
+    assert (f0[10:] == 0).all()
+
+
+def test_autocorr_pitch_voiced_unvoiced_segments(rng):
+    sr, hop = 24000, 128
+    voiced = _sine(200.0, sr, 0.4)
+    noise = (rng.standard_normal(int(sr * 0.3)) * 1e-4).astype(np.float32)
+    wav = np.concatenate([noise, voiced, noise])
+    f0 = np.asarray(autocorr_pitch(
+        jnp.asarray(wav), hop_size=hop, sample_rate=sr))
+    n_noise = len(noise) // hop
+    seg_v = f0[n_noise + 8: n_noise + len(voiced) // hop - 8]
+    assert (seg_v > 0).mean() > 0.9
+    assert abs(np.median(seg_v[seg_v > 0]) - 200.0) < 6.0
+    assert (f0[: n_noise - 8] == 0).mean() > 0.8
+
+
+def test_pitch_output_length_matches_mel_grid():
+    sr, hop = 48000, 256
+    wav = _sine(300.0, sr, 0.5)
+    f0 = np.asarray(autocorr_pitch(
+        jnp.asarray(wav), hop_size=hop, sample_rate=sr))
+    assert len(f0) == len(wav) // hop
+
+
+# ---------------------------------------------------------------- cwt
+
+def test_cwt_shapes_and_inverse():
+    f0 = np.concatenate([np.zeros(10), 200 + 30 * np.sin(
+        np.linspace(0, 6 * np.pi, 200)), np.zeros(10)])
+    uv, lf0 = cont_lf0_np(f0)
+    assert uv[:10].all() and not uv[15]
+    lf0_norm = (lf0 - lf0.mean()) / lf0.std()
+    w = cwt_mexican_hat(jnp.asarray(lf0_norm))
+    assert w.shape == (len(f0), 10)
+    rec = np.asarray(inverse_cwt(w[None]))[0]
+    # heuristic reconstruction: standardized signal correlates strongly
+    corr = np.corrcoef(rec[20:-20], lf0_norm[20:-20])[0, 1]
+    assert corr > 0.85
+
+
+def test_cwt_all_unvoiced():
+    uv, lf0 = cont_lf0_np(np.zeros(32))
+    assert uv.all()
