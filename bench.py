@@ -1,0 +1,108 @@
+"""End-to-end inference benchmark: zero-shot style transfer RTF on one chip.
+
+Measures wav-seconds synthesized per wall-second (acoustic model with
+2x100-step F0 diffusion + 100-step shallow mel diffusion, then the HiFi-GAN
+NSF vocoder) at 48 kHz / hop 256 — the reference's headline inference
+workload (BASELINE.md: target RTF < 0.05 per v5e chip).
+
+Prints ONE JSON line:
+  {"metric": "e2e_rtf", "value": <rtf>, "unit": "sec/wav-sec",
+   "vs_baseline": <0.05 / rtf>}   # >1 means faster than the target
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from stylesinger_tpu.config import load_config
+    from stylesinger_tpu.models.hifigan import HifiGanGenerator
+    from stylesinger_tpu.models.stylesinger import StyleSinger
+
+    vocab = 64
+    frames = 1024                     # ~5.5 s of 48 kHz audio at hop 256
+    cfg = load_config(max_frames=frames, max_input_tokens=128)
+    hop = cfg["hop_size"]
+    sr = cfg["audio_sample_rate"]
+
+    model = StyleSinger(cfg, vocab)
+    voc = HifiGanGenerator(cfg)
+
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 8)
+    b, t_txt, t_ref = 1, 96, 512
+    inp = dict(
+        txt_tokens=jax.random.randint(ks[0], (b, t_txt), 1, vocab),
+        spk_embed=jax.random.normal(ks[1], (b, 256)),
+        emo_embed=jax.random.normal(ks[2], (b, 256)),
+        ref_mels=jax.random.normal(
+            ks[3], (b, t_ref, cfg["audio_num_mel_bins"])) * 0.5 - 2.0,
+        ref_f0=jax.random.uniform(ks[4], (b, t_ref), minval=7.0, maxval=9.0),
+        note=jax.random.randint(ks[5], (b, t_txt), 40, 80),
+        note_dur=jax.random.uniform(ks[6], (b, t_txt), minval=0.08,
+                                    maxval=0.12),
+        note_type=np.ones((b, t_txt), np.int32),
+    )
+
+    rngs = {name: jax.random.PRNGKey(i) for i, name in enumerate(
+        ["params", "dropout", "umln", "rq", "diffusion"])}
+    # init through the TRAIN path (inference-path init would create params
+    # inside lax.scan and leak tracers)
+    import jax.numpy as jnp
+    variables = model.init(
+        rngs, inp["txt_tokens"], jnp.ones((b, t_ref), jnp.int32),
+        inp["spk_embed"], inp["emo_embed"], inp["ref_mels"], inp["ref_f0"],
+        jnp.full((b, t_ref), 8.0), jnp.zeros((b, t_ref)), inp["note"],
+        inp["note_dur"], inp["note_type"], infer=False, use_rq=True,
+        forcing=False, use_diff=True)
+    mel_probe = jax.random.normal(
+        ks[7], (b, frames, cfg["audio_num_mel_bins"]))
+    voc_vars = voc.init({"params": k, "noise": k}, mel_probe,
+                        jnp_full((b, frames), 220.0))
+
+    @jax.jit
+    def synthesize(variables, voc_vars, inp, rng):
+        ret = model.apply(
+            variables, inp["txt_tokens"], None, inp["spk_embed"],
+            inp["emo_embed"], inp["ref_mels"], inp["ref_f0"], None, None,
+            inp["note"], inp["note_dur"], inp["note_type"],
+            infer=True, use_diff=True, max_frames=frames,
+            rngs={"diffusion": rng, "rq": rng})
+        wav = voc.apply(voc_vars, ret["mel_out"], ret["f0_denorm"],
+                        rngs={"noise": rng})
+        return wav, ret["mel2ph"]
+
+    rng = jax.random.PRNGKey(42)
+    wav, mel2ph = synthesize(variables, voc_vars, inp, rng)  # compile
+    jax.block_until_ready(wav)
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        wav, mel2ph = synthesize(variables, voc_vars, inp,
+                                 jax.random.fold_in(rng, i))
+        jax.block_until_ready(wav)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    # generated audio length = full padded buffer (batch-1 static shape)
+    wav_sec = wav.shape[-1] / sr
+    rtf = dt / wav_sec
+    print(json.dumps({
+        "metric": "e2e_rtf", "value": round(rtf, 5),
+        "unit": "sec/wav-sec", "vs_baseline": round(0.05 / rtf, 3)}))
+
+
+def jnp_full(shape, value):
+    import jax.numpy as jnp
+    return jnp.full(shape, value, jnp.float32)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,6 +157,8 @@ DEFAULTS: Dict[str, Any] = dict(
     guided_sigma=0.3,
     aligner_layers=2,
     aligner_ffn_dim=2048,
+    style_wn_layers=4,
+    style_conv_dilations=(1, 1, 1, 1, 1),
     # --- f0 gmdiff (egs/stylesinger.yaml:112-135) ---
     f0_timesteps=100,
     f0_K_step=100,
@@ -364,9 +366,9 @@ def tiny_test_config(**kwargs: Any) -> Config:
         enc_ffn_kernel_size=3,
         dec_ffn_kernel_size=3,
         predictor_layers=2,
-        f0_residual_layers=2,
+        f0_residual_layers=1,
         f0_residual_channels=16,
-        residual_layers=2,
+        residual_layers=1,
         residual_channels=16,
         timesteps=4,
         K_step=4,
@@ -374,7 +376,12 @@ def tiny_test_config(**kwargs: Any) -> Config:
         f0_K_step=4,
         nRQ=8,
         rq_depth=2,
+        aligner_layers=1,
         aligner_ffn_dim=32,
+        style_wn_layers=2,
+        style_conv_dilations=(1,),
+        audio_num_mel_bins=16,
+        keep_bins=16,
         emo_size=16,
         spk_embed_size=16,
         upsample_rates=(4, 4, 2, 2),

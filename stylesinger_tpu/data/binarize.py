@@ -1,0 +1,203 @@
+"""Offline binarizer: metadata.json -> IndexedDataset shards.
+
+Parity target: ``StyleSingingBinarizer``
+(``data_gen/style_binarizer.py:248-405`` in AaronZ345/StyleSinger):
+- loads ``<processed_data_dir>/metadata.json`` (items with ``item_name``,
+  ``ph`` list, ``ph_durs`` seconds, ``wav_fn``, ``singer``, and the MIDI
+  streams ``ep_pitches``/``ep_notedurs``/``ep_types``);
+- splits train/valid/test by item-name prefixes (test names excluded from
+  train; ``split_train_test_set``, :252-260);
+- per item: wav -> log-mel (48 kHz STFT), F0 (cached ``<wav>.npy`` or the
+  autocorrelation tracker), ``mel2ph`` from cumulative ``ph_durs``
+  (:393-404), phone tokens from ``phone_set.json``;
+- speaker + emotion d-vectors (GE2E encoders, replacing resemblyzer and the
+  torch EmotionEncoder);
+- writes ``{prefix}.data/.idx`` + ``{prefix}_lengths.npy`` +
+  ``phone_set.json``.
+
+TPU-native notes: the DSP runs through the JAX kernels in ``dsp/`` (jit
+once, stream items); the worker pool is for wav decoding only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from stylesinger_tpu.data.indexed_dataset import IndexedDatasetBuilder
+from stylesinger_tpu.dsp.mel import load_wav, wav2spec_np
+from stylesinger_tpu.dsp.pitch import extract_pitch
+from stylesinger_tpu.text import TokenTextEncoder, build_token_encoder
+from stylesinger_tpu.models.encoders import (
+    GE2E_SR, UtteranceEncoder, ge2e_mel_np,
+)
+
+
+def mel2ph_from_ph_durs(ph_durs, n_frames: int, hop_size: int,
+                        sample_rate: int) -> np.ndarray:
+    """Cumulative-time rounding, matching the reference's
+    ``process_align`` (style_binarizer.py:393-404)."""
+    mel2ph = np.zeros([n_frames], np.int64)
+    start = 0.0
+    for i, d in enumerate(ph_durs):
+        s = int(start * sample_rate / hop_size + 0.5)
+        e = int((start + d) * sample_rate / hop_size + 0.5)
+        mel2ph[s:e] = i + 1
+        start += d
+    return mel2ph
+
+
+class StyleSingingBinarizer:
+    def __init__(self, cfg: Any,
+                 spk_encoder_vars=None, emo_encoder_vars=None):
+        self.cfg = cfg
+        self.processed_dir = cfg["processed_data_dir"]
+        self.binary_dir = cfg["binary_data_dir"]
+        self.items: Dict[str, Dict] = {}
+        self.item_names: List[str] = []
+        self._spk_enc = UtteranceEncoder()
+        self._emo_enc = UtteranceEncoder()
+        self._spk_vars = spk_encoder_vars
+        self._emo_vars = emo_encoder_vars
+        self.ph_encoder: Optional[TokenTextEncoder] = None
+
+    # ---------------------------------------------------------------- meta
+    def load_meta_data(self) -> None:
+        meta_fn = os.path.join(self.processed_dir, "metadata.json")
+        for r in json.load(open(meta_fn)):
+            self.items[r["item_name"]] = r
+            self.item_names.append(r["item_name"])
+        self.train_names, self.test_names, self.valid_names = \
+            self.split_train_test_set(self.item_names)
+
+    def split_train_test_set(self, names: List[str]
+                             ) -> Tuple[List[str], List[str], List[str]]:
+        c = self.cfg
+        test = [x for x in names
+                if any(ts in x for ts in c["test_prefixes"])]
+        valid = [x for x in names
+                 if any(ts in x for ts in c["valid_prefixes"])]
+        train = [x for x in names if x not in set(test)]
+        return train, test, valid
+
+    def _build_ph_encoder(self) -> TokenTextEncoder:
+        fn = os.path.join(self.processed_dir, "phone_set.json")
+        if os.path.exists(fn):
+            phones = json.load(open(fn))
+        else:
+            phones = sorted({p for it in self.items.values()
+                             for p in it["ph"]})
+            json.dump(phones, open(fn, "w"))
+        return build_token_encoder(phones)
+
+    # ---------------------------------------------------------------- item
+    def process_item(self, item: Dict) -> Optional[Dict]:
+        c = self.cfg
+        item = dict(item)
+        wav_fn = item["wav_fn"]
+        wav = load_wav(wav_fn, c["audio_sample_rate"])
+        spec = wav2spec_np(
+            wav, sample_rate=c["audio_sample_rate"], n_fft=c["fft_size"],
+            hop_size=c["hop_size"], win_length=c["win_size"],
+            n_mels=c["audio_num_mel_bins"], fmin=c["fmin"], fmax=c["fmax"])
+        mel = spec["mel"]
+        item["mel"] = mel
+        item["wav"] = spec["wav"]
+        item["len"] = mel.shape[0]
+        item["sec"] = len(spec["wav"]) / c["audio_sample_rate"]
+        ph = item["ph"]
+        item["ph_token"] = self.ph_encoder.encode(
+            " ".join(ph) if isinstance(ph, (list, tuple)) else ph)
+
+        f0_cache = re.sub(r"\.wav$", ".npy", wav_fn)
+        if os.path.exists(f0_cache):
+            f0 = np.load(f0_cache)[: mel.shape[0]]
+        else:
+            f0 = extract_pitch(spec["wav"], hop_size=c["hop_size"],
+                               sample_rate=c["audio_sample_rate"])
+            f0 = f0[: mel.shape[0]]
+        if len(f0) < mel.shape[0]:
+            f0 = np.pad(f0, (0, mel.shape[0] - len(f0)), mode="edge")
+        item["f0"] = f0
+
+        item["mel2ph"] = mel2ph_from_ph_durs(
+            item["ph_durs"], mel.shape[0], c["hop_size"],
+            c["audio_sample_rate"])
+        return item
+
+    def _embed(self, wav48: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        c = self.cfg
+        t16 = np.arange(int(len(wav48) * GE2E_SR / c["audio_sample_rate"]))
+        wav16 = np.interp(t16 * (c["audio_sample_rate"] / GE2E_SR),
+                          np.arange(len(wav48)), wav48).astype(np.float32)
+        mel16 = ge2e_mel_np(wav16)
+        if self._spk_vars is None:
+            import jax
+            probe = np.zeros((1, 160, 40), np.float32)
+            self._spk_vars = self._spk_enc.init(jax.random.PRNGKey(0), probe)
+            self._emo_vars = self._emo_enc.init(jax.random.PRNGKey(1), probe)
+        spk = self._spk_enc.embed_utterance(self._spk_vars, mel16)
+        emo = self._emo_enc.embed_utterance(self._emo_vars, mel16)
+        return spk, emo
+
+    # ------------------------------------------------------------- process
+    def process(self) -> None:
+        c = self.cfg
+        self.load_meta_data()
+        os.makedirs(self.binary_dir, exist_ok=True)
+        self.ph_encoder = self._build_ph_encoder()
+        shutil.copy(os.path.join(self.processed_dir, "phone_set.json"),
+                    os.path.join(self.binary_dir, "phone_set.json"))
+        for prefix in ("valid", "test", "train"):
+            self.process_data(prefix)
+
+    def process_data(self, prefix: str) -> None:
+        c = self.cfg
+        names = {"valid": self.valid_names, "test": self.test_names,
+                 "train": self.train_names}[prefix]
+        builder = IndexedDatasetBuilder(
+            os.path.join(self.binary_dir, prefix))
+        lengths, total_sec = [], 0.0
+        ba = c["binarization_args"]
+        for name in names:
+            item = self.process_item(self.items[name])
+            if item is None:
+                print(f"| skip corrupt item {name}")
+                continue
+            if ba.get("with_spk_embed") or ba.get("with_emotion"):
+                spk, emo = self._embed(item["wav"])
+                if ba.get("with_spk_embed"):
+                    item["spk_embed"] = spk
+                if ba.get("with_emotion"):
+                    item["emo_embed"] = emo
+            if not ba.get("with_wav", False):
+                item.pop("wav", None)
+            lengths.append(item["len"])
+            total_sec += item["sec"]
+            builder.add_item(item)
+        builder.finalize()
+        np.save(os.path.join(self.binary_dir, f"{prefix}_lengths.npy"),
+                lengths)
+        print(f"| {prefix}: {len(lengths)} items, {total_sec:.1f}s audio")
+
+
+def binarize(cfg) -> None:
+    """CLI entry (reference data_gen/tts/bin/binarize.py:9-20)."""
+    StyleSingingBinarizer(cfg).process()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from stylesinger_tpu.config import load_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--hparams", default="")
+    a = ap.parse_args()
+    binarize(load_config(a.config, a.hparams))

@@ -1,0 +1,227 @@
+"""End-to-end zero-shot synthesis API.
+
+Parity target: ``StyleSingerInfer`` (``inference/StyleSinger.py:21-179`` in
+AaronZ345/StyleSinger) and its ``example_run`` input contract
+(``:182-329``): a dict with ``text``/``ph`` (phoneme string), ``notes``
+(MIDI), ``notes_duration``, ``note_types``, and ``ref_audio`` (48 kHz
+reference clip of the target singer) -> synthesized wav.
+
+Pipeline (all DSP on-device, no librosa/parselmouth/resemblyzer):
+  ref wav -> mel (dsp.mel) + F0 (dsp.pitch autocorrelation tracker)
+          -> speaker/emotion d-vectors (models.encoders GE2E twins)
+  ph/notes -> tokens -> StyleSinger.infer (dur -> UMLN -> RSA -> dual F0
+  diffusion -> shallow mel diffusion) -> HiFi-GAN NSF -> wav.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from stylesinger_tpu.config import Config, load_config
+from stylesinger_tpu.dsp.mel import load_wav, pad_wav_to_frames, save_wav, \
+    wav2spec_np
+from stylesinger_tpu.dsp.pitch import extract_pitch, norm_interp_f0_np
+from stylesinger_tpu.text import TokenTextEncoder, build_token_encoder
+from stylesinger_tpu.models.encoders import (
+    GE2E_SR, UtteranceEncoder, ge2e_mel_np,
+)
+
+
+class StyleSingerInfer:
+    def __init__(self, cfg: Config, work_dir: Optional[str] = None,
+                 phone_list: Optional[list] = None):
+        import jax
+
+        from stylesinger_tpu.models.hifigan import HifiGanGenerator
+        from stylesinger_tpu.models.stylesinger import StyleSinger
+
+        self.cfg = cfg
+        self.work_dir = work_dir or cfg.get("work_dir") or "."
+        self.ph_encoder = self._build_ph_encoder(phone_list)
+        self.model = StyleSinger(cfg, len(self.ph_encoder))
+        self.vocoder = HifiGanGenerator(cfg)
+        self.spk_encoder = UtteranceEncoder()
+        self.emo_encoder = UtteranceEncoder()
+        self._rng = jax.random.PRNGKey(cfg["seed"])
+        self.variables = None          # set by load_params / _init_random
+        self.voc_variables = None
+        self.spk_variables = None
+        self.emo_variables = None
+        self._jit_forward = None
+
+    # ------------------------------------------------------------ weights
+    def _build_ph_encoder(self, phone_list) -> TokenTextEncoder:
+        if phone_list is None:
+            ph_set_fn = os.path.join(self.cfg["binary_data_dir"],
+                                     "phone_set.json")
+            if os.path.exists(ph_set_fn):
+                phone_list = json.load(open(ph_set_fn))
+            else:
+                phone_list = [chr(ord("a") + i) for i in range(26)]
+        return build_token_encoder(phone_list)
+
+    def _example_inputs(self, t_txt=8, t_ref=64):
+        import jax.numpy as jnp
+        c = self.cfg
+        return dict(
+            txt_tokens=jnp.ones((1, t_txt), jnp.int32),
+            spk_embed=jnp.zeros((1, 256)),
+            emo_embed=jnp.zeros((1, 256)),
+            ref_mels=jnp.zeros((1, t_ref, c["audio_num_mel_bins"])),
+            ref_f0=jnp.zeros((1, t_ref)),
+            note=jnp.ones((1, t_txt), jnp.int32) * 60,
+            note_dur=jnp.ones((1, t_txt)) * 0.2,
+            note_type=jnp.ones((1, t_txt), jnp.int32),
+        )
+
+    def init_random(self) -> None:
+        """Random-init all parameter sets (smoke tests / untrained runs).
+
+        NB: init must trace the *training* path — at inference the denoiser
+        calls live inside ``lax.scan``, and parameters created inside a scan
+        body leak tracers out of flax init."""
+        import jax
+        import jax.numpy as jnp
+
+        i = self._example_inputs()
+        t_ref = i["ref_mels"].shape[1]
+        rngs = {k: jax.random.PRNGKey(n) for n, k in enumerate(
+            ["params", "dropout", "umln", "rq", "diffusion", "noise"])}
+        mel2ph = jnp.ones((1, t_ref), jnp.int32)
+        self.variables = self.model.init(
+            rngs, i["txt_tokens"], mel2ph, i["spk_embed"], i["emo_embed"],
+            i["ref_mels"], i["ref_f0"], jnp.full((1, t_ref), 8.0),
+            jnp.zeros((1, t_ref)), i["note"], i["note_dur"],
+            i["note_type"], infer=False, use_rq=True, forcing=False,
+            use_diff=True)
+        hop = self.cfg["hop_size"]
+        self.voc_variables = self.vocoder.init(
+            {"params": self._rng, "noise": self._rng},
+            jnp.zeros((1, 16, self.cfg["audio_num_mel_bins"])),
+            jnp.full((1, 16), 200.0))
+        probe = jnp.zeros((1, 160, 40))
+        self.spk_variables = self.spk_encoder.init(self._rng, probe)
+        self.emo_variables = self.emo_encoder.init(self._rng, probe)
+
+    def load_params(self, state_or_dir) -> None:
+        """Load acoustic params from a TrainState or a checkpoint dir."""
+        if isinstance(state_or_dir, str):
+            from stylesinger_tpu.training.checkpoint import CheckpointManager
+            from stylesinger_tpu.training.step import init_state
+            raise NotImplementedError(
+                "restore via training.checkpoint.CheckpointManager, then "
+                "pass the TrainState here")
+        self.variables = {"params": state_or_dir.params,
+                          "codebook": state_or_dir.codebook}
+
+    # --------------------------------------------------------- preprocess
+    def preprocess_input(self, inp: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        """Reference contract: ph / note / note_dur / note_type strings +
+        ref_audio path (inference/StyleSinger.py:94-137)."""
+        c = self.cfg
+        ph = inp["ph"] if "ph" in inp else inp["text"]
+        ph_tokens = np.asarray(self.ph_encoder.encode(ph), np.int64)
+        note = np.asarray([int(x) for x in str(inp["notes"]).split(" ")]
+                          if isinstance(inp["notes"], str) else inp["notes"])
+        note_dur = np.asarray(
+            [float(x) for x in str(inp["notes_duration"]).split(" ")]
+            if isinstance(inp["notes_duration"], str)
+            else inp["notes_duration"], np.float32)
+        note_type = np.asarray(inp["note_types"], np.int64)
+
+        wav48 = load_wav(inp["ref_audio"], c["audio_sample_rate"]) \
+            if isinstance(inp["ref_audio"], str) else inp["ref_audio"]
+        spec = wav2spec_np(
+            wav48, sample_rate=c["audio_sample_rate"], n_fft=c["fft_size"],
+            hop_size=c["hop_size"], win_length=c["win_size"],
+            n_mels=c["audio_num_mel_bins"], fmin=c["fmin"], fmax=c["fmax"])
+        ref_mel = spec["mel"]
+        ref_f0_raw = extract_pitch(
+            spec["wav"], hop_size=c["hop_size"],
+            sample_rate=c["audio_sample_rate"])
+        ref_f0_raw = ref_f0_raw[: len(ref_mel)]
+        if len(ref_f0_raw) < len(ref_mel):
+            ref_f0_raw = np.pad(ref_f0_raw,
+                                (0, len(ref_mel) - len(ref_f0_raw)))
+        ref_f0, _ = norm_interp_f0_np(
+            ref_f0_raw, pitch_norm=c["pitch_norm"], use_uv=c["use_uv"],
+            f0_mean=c["f0_mean"], f0_std=c["f0_std"])
+
+        # 16 kHz GE2E front-end for the d-vector encoders
+        t16 = np.arange(int(len(wav48) * GE2E_SR / c["audio_sample_rate"]))
+        wav16 = np.interp(t16 * (c["audio_sample_rate"] / GE2E_SR),
+                          np.arange(len(wav48)), wav48).astype(np.float32)
+        mel16 = ge2e_mel_np(wav16)
+        spk_embed = self.spk_encoder.embed_utterance(self.spk_variables,
+                                                     mel16)
+        emo_embed = self.emo_encoder.embed_utterance(self.emo_variables,
+                                                     mel16)
+        return dict(
+            txt_tokens=ph_tokens[None], ref_mels=ref_mel[None],
+            ref_f0=ref_f0[None], spk_embed=spk_embed[None],
+            emo_embed=emo_embed[None], note=note[None],
+            note_dur=note_dur[None], note_type=note_type[None])
+
+    # -------------------------------------------------------------- infer
+    def forward_model(self, batch: Dict[str, np.ndarray],
+                      max_frames: Optional[int] = None) -> Dict:
+        import jax
+        import jax.numpy as jnp
+
+        c = self.cfg
+        if self.variables is None:
+            self.init_random()
+        max_frames = max_frames or c["max_frames"]
+
+        def fwd(variables, voc_variables, batch, rng):
+            ret = self.model.apply(
+                variables, batch["txt_tokens"], None, batch["spk_embed"],
+                batch["emo_embed"], batch["ref_mels"], batch["ref_f0"],
+                None, None, batch["note"], batch["note_dur"],
+                batch["note_type"], infer=True, use_diff=True,
+                max_frames=max_frames, rngs={"diffusion": rng, "rq": rng})
+            wav = self.vocoder.apply(voc_variables, ret["mel_out"],
+                                     ret["f0_denorm"], rngs={"noise": rng})
+            return wav, ret["mel_out"], ret["f0_denorm"], ret["mel2ph"]
+
+        if self._jit_forward is None:
+            self._jit_forward = jax.jit(fwd, static_argnames=())
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        wav, mel, f0, mel2ph = self._jit_forward(
+            self.variables, self.voc_variables, jb, self._rng)
+        n_frames = int(np.asarray((mel2ph > 0).sum(-1)).max())
+        wav = np.asarray(wav)[0][: n_frames * self.cfg["hop_size"]]
+        return dict(wav=wav, mel=np.asarray(mel)[0][:n_frames],
+                    f0=np.asarray(f0)[0][:n_frames])
+
+    def infer_once(self, inp: Dict[str, Any]) -> np.ndarray:
+        return self.forward_model(self.preprocess_input(inp))["wav"]
+
+
+def example_run(cfg: Optional[Config] = None,
+                out_path: str = "infer_out/test.wav") -> str:
+    """Mirror of the reference demo (inference/StyleSinger.py:182-329):
+    a fixed Chinese phrase with MIDI notes + the bundled reference clip."""
+    cfg = cfg or load_config()
+    inp = {
+        "text": "小酒窝长睫毛AP是你最美的记号",
+        "ph": "x iao j iu w o ch ang j ie m ao AP sh i n i z ui m ei d e j i h ao",
+        "notes": [68, 68, 68, 68, 69, 69, 71, 71, 71, 71, 69, 69, 0, 68, 68,
+                  66, 66, 68, 68, 69, 69, 68, 68, 66, 66, 64, 64],
+        "notes_duration": [0.23, 0.23, 0.23, 0.23, 0.68, 0.68, 0.46, 0.46,
+                           0.23, 0.23, 0.81, 0.81, 0.23, 0.23, 0.23, 0.23,
+                           0.23, 0.23, 0.23, 0.46, 0.46, 0.23, 0.23, 0.23,
+                           0.23, 0.58, 0.58],
+        "note_types": [2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 2, 2, 2, 2, 2,
+                       2, 2, 2, 2, 2, 2, 2, 2, 2],
+        "ref_audio": "/root/reference/test/test.wav",
+    }
+    infer = StyleSingerInfer(cfg)
+    wav = infer.infer_once(inp)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    save_wav(wav, out_path, cfg["audio_sample_rate"])
+    return out_path

@@ -7,5 +7,11 @@ PRNG keys for all stochasticity.
 """
 
 from stylesinger_tpu.models.fs2 import FastSpeech2  # noqa: F401
-from stylesinger_tpu.models.stylesinger import StyleSinger  # noqa: F401
-from stylesinger_tpu.models.hifigan import HifiGanGenerator  # noqa: F401
+from stylesinger_tpu.models.stylesinger import NoteEncoder, StyleSinger  # noqa: F401
+from stylesinger_tpu.models.hifigan import (  # noqa: F401
+    HifiGanGenerator, MultiPeriodDiscriminator, MultiScaleDiscriminator,
+)
+from stylesinger_tpu.models.umln import UMLN  # noqa: F401
+from stylesinger_tpu.models.style import (  # noqa: F401
+    LocalStyleAdaptor, ProsodyAligner,
+)

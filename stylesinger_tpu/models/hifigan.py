@@ -1,0 +1,323 @@
+"""HiFi-GAN NSF vocoder (flax, batch-first, static shapes).
+
+Behavioral parity targets (AaronZ345/StyleSinger):
+- ``HifiGanGenerator`` (``modules/hifigan/hifigan_nsf.py:104-178``):
+  conv_pre(80->C, k7) -> N x [leaky_relu -> ConvTranspose upsample ->
+  + NSF harmonic-source injection via strided noise_convs -> MRF (3
+  ResBlock1, kernels {3,7,11}, dilations {1,3,5})] -> conv_post -> tanh.
+- ``SineGen`` / ``SourceModuleHnNSF``
+  (``modules/parallel_wavegan/models/source.py:311-538``): harmonic sine
+  bank with random initial phases driven by F0 upsampled to sample rate;
+  uv gating; tanh-merged excitation.
+- Discriminators (``modules/hifigan/hifigan_nsf.py:181-365``):
+  MultiPeriodDiscriminator (periods 2/3/5/7/11, 2D convs) and
+  MultiScaleDiscriminator (3 scales, avg-pool), for vocoder GAN training.
+
+TPU-native design notes:
+- The sine-source phase integral uses a **two-level blocked cumsum** (within
+  hop-size blocks + mod-1 block offsets) so float32 keeps full phase
+  precision over arbitrarily long utterances — the reference relies on a
+  cumsum-overflow correction trick that still accumulates error in fp32.
+- Weight norm is an SGD-time reparameterization; convs here are plain
+  (equivalent to the reference's ``remove_weight_norm()`` inference form;
+  for GAN training, spectral conditioning comes from the discriminator).
+- Everything is [B, T, C]; the channel dim stays lane-aligned for the VPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, LRELU_SLOPE)
+
+
+_conv_init = nn.initializers.normal(stddev=0.01)
+
+
+# ---------------------------------------------------------------------------
+# NSF source module
+# ---------------------------------------------------------------------------
+
+def blocked_phase_cumsum(rad: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Stable phase integration: cumsum of per-sample phase increments
+    [B, T, D] -> fractional phase [B, T, D], with T = n_blocks * block.
+
+    Two-level scheme: exact cumsum inside each block (values <= block), and
+    mod-1 running offsets across blocks, so magnitudes never grow beyond
+    ``block`` and float32 precision is preserved for any utterance length.
+    """
+    b, t, d = rad.shape
+    n_blocks = t // block
+    r = rad.reshape(b, n_blocks, block, d)
+    within = jnp.cumsum(r, axis=2)
+    block_sum = within[:, :, -1, :] % 1.0
+    offsets = (jnp.cumsum(block_sum, axis=1) - block_sum) % 1.0
+    return (within + offsets[:, :, None, :]).reshape(b, t, d)
+
+
+class SourceModuleHnNSF(nn.Module):
+    """Harmonic sine bank -> tanh(linear) single-channel excitation
+    (reference source.py:484-538 + SineGen:311-443)."""
+    sampling_rate: int
+    harmonic_num: int = 8
+    sine_amp: float = 0.1
+    noise_std: float = 0.003
+    voiced_threshold: float = 0.0
+    hop_size: int = 256
+
+    @nn.compact
+    def __call__(self, f0_up: jnp.ndarray, deterministic: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """f0_up: [B, T_samples] (Hz, 0 = unvoiced) -> (excitation [B, T, 1],
+        uv [B, T, 1])."""
+        d = self.harmonic_num + 1
+        harmonics = jnp.arange(1, d + 1, dtype=jnp.float32)
+        f0h = f0_up[..., None] * harmonics  # [B, T, D]
+        rad = (f0h / self.sampling_rate) % 1.0
+
+        rng = self.make_rng("noise")
+        rng_phase, rng_noise = jax.random.split(rng)
+        # random initial phase per harmonic, none for the fundamental
+        rand_ini = jax.random.uniform(rng_phase, (f0h.shape[0], d))
+        rand_ini = rand_ini.at[:, 0].set(0.0)
+        rad = rad.at[:, 0, :].add(rand_ini)
+
+        phase = blocked_phase_cumsum(rad, self.hop_size)
+        sines = jnp.sin(2 * np.pi * phase) * self.sine_amp
+
+        uv = (f0_up > self.voiced_threshold).astype(jnp.float32)[..., None]
+        noise_amp = uv * self.noise_std + (1 - uv) * self.sine_amp / 3
+        noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
+        sines = sines * uv + noise
+
+        merged = jnp.tanh(nn.Dense(1, name="merge")(sines))
+        return merged, uv
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+class ResBlock1(nn.Module):
+    """MRF residual block: 3 x [lrelu -> dilated conv -> lrelu -> conv d=1]
+    (reference hifigan_nsf.py:30-67)."""
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, dil in enumerate(self.dilations):
+            y = _lrelu(x)
+            y = nn.Conv(self.channels, (self.kernel_size,),
+                        kernel_dilation=(dil,), padding="SAME",
+                        kernel_init=_conv_init, name=f"conv1_{i}")(y)
+            y = _lrelu(y)
+            y = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                        kernel_init=_conv_init, name=f"conv2_{i}")(y)
+            x = x + y
+        return x
+
+
+class ResBlock2(nn.Module):
+    """2 x [lrelu -> dilated conv] (reference hifigan_nsf.py:70-90)."""
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, dil in enumerate(self.dilations):
+            y = _lrelu(x)
+            y = nn.Conv(self.channels, (self.kernel_size,),
+                        kernel_dilation=(dil,), padding="SAME",
+                        kernel_init=_conv_init, name=f"conv_{i}")(y)
+            x = x + y
+        return x
+
+
+class HifiGanGenerator(nn.Module):
+    """NSF HiFi-GAN generator: mel [B, T, 80] (+ f0 [B, T]) -> wav [B, T*hop]
+    (reference hifigan_nsf.py:104-178)."""
+    cfg: Any
+    c_out: int = 1
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, f0: Optional[jnp.ndarray] = None,
+                 deterministic: bool = False) -> jnp.ndarray:
+        c = self.cfg
+        rates: Sequence[int] = tuple(c["upsample_rates"])
+        kernels: Sequence[int] = tuple(c["upsample_kernel_sizes"])
+        rk = tuple(c["resblock_kernel_sizes"])
+        rd = tuple(tuple(d) for d in c["resblock_dilation_sizes"])
+        ch0 = c["upsample_initial_channel"]
+        total_up = int(np.prod(rates))
+        use_nsf = c.get("use_nsf", True) and f0 is not None
+        resblock_cls = ResBlock1 if str(c.get("resblock", "1")) == "1" else \
+            ResBlock2
+
+        har_source = None
+        if use_nsf:
+            # nearest-neighbour upsample of f0 to sample rate
+            f0_up = jnp.repeat(f0, total_up, axis=-1)
+            har_source, _uv = SourceModuleHnNSF(
+                sampling_rate=c["audio_sample_rate"],
+                harmonic_num=c.get("harmonic_num", 8),
+                hop_size=total_up, name="m_source")(
+                f0_up, deterministic=deterministic)
+
+        x = nn.Conv(ch0, (7,), padding="SAME", name="conv_pre")(mel)
+        for i, (u, k) in enumerate(zip(rates, kernels)):
+            c_cur = ch0 // (2 ** (i + 1))
+            x = _lrelu(x)
+            pad = (k - u) // 2
+            x = nn.ConvTranspose(
+                c_cur, (k,), strides=(u,), padding=((pad, pad),),
+                transpose_kernel=True, kernel_init=_conv_init,
+                name=f"up_{i}")(x)
+            # ConvTranspose 'padding' in flax crops differently than torch;
+            # enforce exact T*u length
+            tgt = mel.shape[1] * int(np.prod(rates[: i + 1]))
+            if x.shape[1] != tgt:
+                x = x[:, :tgt] if x.shape[1] > tgt else jnp.pad(
+                    x, ((0, 0), (0, tgt - x.shape[1]), (0, 0)))
+            if use_nsf:
+                stride_f0 = int(np.prod(rates[i + 1:]))
+                if i + 1 < len(rates):
+                    src = nn.Conv(c_cur, (stride_f0 * 2,),
+                                  strides=(stride_f0,),
+                                  padding=((stride_f0 // 2,) * 2,),
+                                  name=f"noise_conv_{i}")(har_source)
+                    src = src[:, : x.shape[1]]
+                else:
+                    src = nn.Conv(c_cur, (1,),
+                                  name=f"noise_conv_{i}")(har_source)
+                x = x + src
+            acc = None
+            for j, (rkj, rdj) in enumerate(zip(rk, rd)):
+                y = resblock_cls(c_cur, rkj, rdj,
+                                 name=f"resblock_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / len(rk)
+        x = _lrelu(x)
+        x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=_conv_init,
+                    name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Discriminators (vocoder GAN training)
+# ---------------------------------------------------------------------------
+
+class PeriodDiscriminator(nn.Module):
+    """One period branch: wav folded to [B, T/p, p] then 2D conv stack
+    (reference hifigan_nsf.py:181-220)."""
+    period: int
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray):
+        b, t = wav.shape
+        p = self.period
+        pad = (p - t % p) % p
+        x = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect")
+        x = x.reshape(b, -1, p, 1)  # [B, T/p, p, 1]
+        feats = []
+        chs = (32, 128, 512, 1024)
+        for i, ch in enumerate(chs):
+            x = nn.Conv(ch, (5, 1), strides=(3, 1),
+                        padding=((2, 2), (0, 0)), name=f"conv_{i}")(x)
+            x = _lrelu(x)
+            feats.append(x)
+        x = nn.Conv(1024, (5, 1), padding=((2, 2), (0, 0)), name="conv_4")(x)
+        x = _lrelu(x)
+        feats.append(x)
+        x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), name="conv_post")(x)
+        feats.append(x)
+        return x.reshape(b, -1), feats
+
+
+class ScaleDiscriminator(nn.Module):
+    """One scale branch: grouped 1D conv stack
+    (reference hifigan_nsf.py:254-286)."""
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray):
+        x = wav[..., None]
+        feats = []
+        spec = [(128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
+                (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
+                (1024, 5, 1, 1)]
+        for i, (ch, k, s, g) in enumerate(spec):
+            x = nn.Conv(ch, (k,), strides=(s,), feature_group_count=g,
+                        padding="SAME", name=f"conv_{i}")(x)
+            x = _lrelu(x)
+            feats.append(x)
+        x = nn.Conv(1, (3,), padding="SAME", name="conv_post")(x)
+        feats.append(x)
+        return x.reshape(wav.shape[0], -1), feats
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray):
+        outs, feats = [], []
+        for p in self.periods:
+            o, f = PeriodDiscriminator(p, name=f"period_{p}")(wav)
+            outs.append(o)
+            feats.append(f)
+        return outs, feats
+
+
+class MultiScaleDiscriminator(nn.Module):
+    n_scales: int = 3
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray):
+        outs, feats = [], []
+        x = wav
+        for i in range(self.n_scales):
+            if i > 0:
+                x = nn.avg_pool(x[..., None], (4,), strides=(2,),
+                                padding="SAME")[..., 0]
+            o, f = ScaleDiscriminator(name=f"scale_{i}")(x)
+            outs.append(o)
+            feats.append(f)
+        return outs, feats
+
+
+# ---------------------------------------------------------------------------
+# GAN losses (LSGAN + feature matching, reference hifigan_nsf.py:330-365)
+# ---------------------------------------------------------------------------
+
+def discriminator_loss(real_outs, fake_outs):
+    loss = 0.0
+    for dr, dg in zip(real_outs, fake_outs):
+        loss = loss + jnp.mean((dr - 1.0) ** 2) + jnp.mean(dg ** 2)
+    return loss
+
+
+def generator_adv_loss(fake_outs):
+    loss = 0.0
+    for dg in fake_outs:
+        loss = loss + jnp.mean((dg - 1.0) ** 2)
+    return loss
+
+
+def feature_matching_loss(real_feats, fake_feats):
+    loss = 0.0
+    for fr_list, fg_list in zip(real_feats, fake_feats):
+        for fr, fg in zip(fr_list, fg_list):
+            loss = loss + jnp.mean(jnp.abs(jax.lax.stop_gradient(fr) - fg))
+    return loss * 2.0

@@ -39,8 +39,10 @@ class VQEmbedding(nn.Module):
         self.cluster_size_ema = self.variable(
             "codebook", "cluster_size_ema",
             lambda: jnp.zeros((self.n_embed,)))
+        # `+ 0` forces a distinct buffer: donating a TrainState that holds
+        # the same array in two leaves trips "donate the same buffer twice"
         self.embed_ema = self.variable(
-            "codebook", "embed_ema", lambda: self.embedding.value)
+            "codebook", "embed_ema", lambda: self.embedding.value + 0)
 
     def find_nearest(self, inputs: jnp.ndarray) -> jnp.ndarray:
         """Argmin_k ||x - e_k||^2 via the expanded-quadratic form (one MXU

@@ -110,3 +110,11 @@ class TokenTextEncoder:
         """Silence-like phones (reference: tokens starting with '<' plus
         the segment marker '|')."""
         return [p for p in self._token_to_id if p == SEG or p.startswith("<")]
+
+
+def build_token_encoder(phones_or_path) -> TokenTextEncoder:
+    """From a ``phone_set.json`` path or a phone list (reference
+    ``build_token_encoder``, utils/text_encoder.py)."""
+    if isinstance(phones_or_path, str):
+        return TokenTextEncoder.from_file(phones_or_path)
+    return TokenTextEncoder(sorted(set(phones_or_path)))

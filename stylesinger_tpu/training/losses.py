@@ -1,0 +1,198 @@
+"""Loss suite for acoustic-model training.
+
+Behavioral parity targets (AaronZ345/StyleSinger, ``tasks/tts/fs2.py``):
+- mel: weighted mix parsed from ``"l1:0.5|ssim:0.5"`` (fs2.py:104-116),
+  each masked by nonzero-target frames (``weights_nonzero_speech``);
+  SSIM applied on +6-biased spectrograms (fs2.py:168-177).
+- duration: MSE on log(dur+1) phone durations (lambda_ph_dur), log-domain
+  word/sentence sums (lambda_word_dur / lambda_sent_dur) (fs2.py:180-215).
+- pitch (conv f0_gen only): uv BCE + voiced-masked F0 L1/MSE
+  (fs2.py:222-241).
+- curriculum gating of rq/guided/diffusion losses happens in
+  ``compute_losses`` via the static Phase flags
+  (``tasks/StyleSinger/stylesinger.py:57-66``).
+
+Everything is a pure function of (outputs, batch) -> scalar dict; masking is
+explicit; segment sums use scatter-add instead of Python loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# SSIM (single-scale, gaussian window 11, sigma 1.5 — the torch ssim default
+# used by the reference's modules/commons/ssim.py)
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2.0 * sigma ** 2))
+    g = (g / g.sum()).astype(np.float32)
+    return np.outer(g, g)
+
+
+def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 2D conv with SAME padding; img [B, H, W]."""
+    k = kernel[:, :, None, None]  # HWIO
+    out = jax.lax.conv_general_dilated(
+        img[:, None], jnp.asarray(k), (1, 1), "SAME",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"))
+    return out[:, 0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+         window_size: int = 11) -> jnp.ndarray:
+    """Per-pixel SSIM map of [B, T, M] images (values in [0, ~bias+max])."""
+    kernel = jnp.asarray(_gaussian_kernel(window_size))
+    mu1 = _filter2d(img1, kernel)
+    mu2 = _filter2d(img2, kernel)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _filter2d(img1 * img1, kernel) - mu1_sq
+    sigma2_sq = _filter2d(img2 * img2, kernel) - mu2_sq
+    sigma12 = _filter2d(img1 * img2, kernel) - mu12
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / \
+        ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+
+
+# ---------------------------------------------------------------------------
+# mel
+# ---------------------------------------------------------------------------
+
+def parse_mel_loss(spec: str) -> Dict[str, float]:
+    """``"l1:0.5|ssim:0.5"`` -> {'l1': 0.5, 'ssim': 0.5} (fs2.py:36-46)."""
+    out: Dict[str, float] = {}
+    for part in spec.split("|"):
+        if ":" in part:
+            name, lbd = part.split(":")
+            out[name] = float(lbd)
+        else:
+            out[part] = 1.0
+    return out
+
+
+def _nonzero_weights(target: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, M] frame mask broadcast over mel bins (fs2.py weights)."""
+    mask = (jnp.abs(target).sum(-1) > 0).astype(target.dtype)
+    return jnp.broadcast_to(mask[..., None], target.shape)
+
+
+def mel_losses(mel_out: jnp.ndarray, target: jnp.ndarray,
+               loss_spec: str, postfix: str = "") -> Dict[str, jnp.ndarray]:
+    w = _nonzero_weights(target)
+    denom = jnp.maximum(w.sum(), 1.0)
+    out = {}
+    for name, lbd in parse_mel_loss(loss_spec).items():
+        if name == "l1":
+            l = (jnp.abs(mel_out - target) * w).sum() / denom
+        elif name == "mse":
+            l = (((mel_out - target) ** 2) * w).sum() / denom
+        elif name == "ssim":
+            s = ssim(mel_out + 6.0, target + 6.0)
+            l = ((1.0 - s) * w).sum() / denom
+        else:
+            raise ValueError(name)
+        out[f"{name}{postfix}"] = l * lbd
+    return out
+
+
+# ---------------------------------------------------------------------------
+# duration
+# ---------------------------------------------------------------------------
+
+def duration_losses(log_dur_pred: jnp.ndarray, mel2ph: jnp.ndarray,
+                    txt_tokens: jnp.ndarray, cfg: Any,
+                    is_sil: Optional[jnp.ndarray] = None
+                    ) -> Dict[str, jnp.ndarray]:
+    from stylesinger_tpu.dsp.align import mel2ph_to_dur
+
+    b, t_txt = txt_tokens.shape
+    nonpadding = (txt_tokens > 0).astype(jnp.float32)
+    dur_gt = mel2ph_to_dur(mel2ph, t_txt).astype(jnp.float32) * nonpadding
+    out = {}
+    pdur = (log_dur_pred - jnp.log(dur_gt + 1.0)) ** 2
+    out["pdur"] = (pdur * nonpadding).sum() / jnp.maximum(
+        nonpadding.sum(), 1.0) * cfg["lambda_ph_dur"]
+
+    dur_pred = jnp.maximum(jnp.exp(log_dur_pred) - 1.0, 0.0)
+    if cfg["lambda_word_dur"] > 0 and is_sil is not None:
+        word_id = (jnp.cumsum(is_sil, -1) * (1 - is_sil)).astype(jnp.int32)
+        n_words = t_txt + 1
+
+        def seg_sum(v):
+            return jax.vmap(lambda w, x: jnp.zeros(
+                (n_words,), v.dtype).at[w].add(x))(word_id, v)[:, 1:]
+
+        wp = seg_sum(dur_pred)
+        wg = seg_sum(dur_gt)
+        wmask = (wg > 0).astype(jnp.float32)
+        wdur = (jnp.log(wp + 1) - jnp.log(wg + 1)) ** 2
+        out["wdur"] = (wdur * wmask).sum() / jnp.maximum(wmask.sum(), 1.0) * \
+            cfg["lambda_word_dur"]
+    if cfg["lambda_sent_dur"] > 0:
+        sp = dur_pred.sum(-1)
+        sg = dur_gt.sum(-1)
+        out["sdur"] = jnp.mean((jnp.log(sp + 1) - jnp.log(sg + 1)) ** 2) * \
+            cfg["lambda_sent_dur"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pitch (conv f0_gen)
+# ---------------------------------------------------------------------------
+
+def f0_uv_losses(pitch_pred: jnp.ndarray, f0: jnp.ndarray, uv: jnp.ndarray,
+                 nonpadding: jnp.ndarray, cfg: Any,
+                 postfix: str = "") -> Dict[str, jnp.ndarray]:
+    out = {}
+    if cfg["use_uv"] and cfg["pitch_type"] == "frame":
+        logits = pitch_pred[:, :, 1]
+        bce = jnp.maximum(logits, 0) - logits * uv + \
+            jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        out[f"uv{postfix}"] = (bce * nonpadding).sum() / jnp.maximum(
+            nonpadding.sum(), 1.0) * cfg["lambda_uv"]
+        nonpadding = nonpadding * (uv == 0).astype(nonpadding.dtype)
+    f0_pred = pitch_pred[:, :, 0]
+    if cfg["pitch_loss"] in ("l1", "l2"):
+        err = jnp.abs(f0_pred - f0) if cfg["pitch_loss"] == "l1" else \
+            (f0_pred - f0) ** 2
+        out[f"f0{postfix}"] = (err * nonpadding).sum() / jnp.maximum(
+            nonpadding.sum(), 1.0) * cfg["lambda_f0"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aggregation (mirrors StyleSingerTask.run_model loss dict)
+# ---------------------------------------------------------------------------
+
+def compute_losses(ret: Dict, batch: Dict, cfg: Any, *, use_rq: bool,
+                   forcing: bool, use_diff: bool) -> Dict[str, jnp.ndarray]:
+    """All training losses for one StyleSinger step
+    (reference tasks/StyleSinger/stylesinger.py:41-90)."""
+    losses: Dict[str, jnp.ndarray] = {}
+    target = batch["mels"]
+    if cfg["decoder"] == "diffsinger" and use_diff:
+        losses["diff"] = ret["diff_loss"]
+    if cfg["style"]:
+        if not forcing:
+            losses["gloss"] = ret["gloss"]
+        if use_rq:
+            losses["rq_loss"] = ret["rq_loss"]
+    losses.update(mel_losses(ret["mel_out"], target, cfg["mel_loss"]))
+    losses.update(duration_losses(ret["dur"], batch["mel2ph"],
+                                  batch["txt_tokens"], cfg,
+                                  is_sil=batch.get("is_sil")))
+    if cfg["f0_gen"] == "gmdiff":
+        for k in ("gdiff1", "mdiff1", "gdiff2", "mdiff2"):
+            losses[k] = ret[k]
+    else:
+        nonpadding = (batch["mel2ph"] > 0).astype(jnp.float32)
+        losses.update(f0_uv_losses(ret["pitch_pred"], batch["f0"],
+                                   batch["uv"], nonpadding, cfg))
+    return losses

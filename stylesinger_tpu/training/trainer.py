@@ -1,0 +1,144 @@
+"""Training loop driver.
+
+Parity target: ``Trainer`` (``utils/trainer.py:90-340`` in
+AaronZ345/StyleSinger): step loop to ``max_updates``, periodic validation +
+checkpoint every ``val_check_interval``, scalar logging every
+``tb_log_interval``, keep-K checkpoints with best-val copy, auto-resume from
+the latest checkpoint, NaN watchdog.
+
+Differences by design (TPU-native):
+- no DDP process spawn: one process drives the whole mesh; the train step is
+  SPMD over the ``data`` axis (``parallel/mesh.py``);
+- no AMP/GradScaler: bf16 matmuls are native;
+- curriculum phases re-jit the step at the (three) phase boundaries instead
+  of branching every step;
+- metrics go to ``<work_dir>/metrics.jsonl`` (+ TensorBoard when
+  ``tensorboardX`` is importable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stylesinger_tpu.parallel.mesh import make_mesh, shard_batch
+from stylesinger_tpu.training.checkpoint import CheckpointManager
+from stylesinger_tpu.training.step import (
+    Phase, init_state, make_eval_step, make_train_step, phase_for_step,
+)
+
+
+class MetricsWriter:
+    def __init__(self, work_dir: str):
+        os.makedirs(work_dir, exist_ok=True)
+        self._f = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        try:  # optional; not a hard dependency
+            from tensorboardX import SummaryWriter  # type: ignore
+            self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
+        except Exception:
+            pass
+
+    def write(self, step: int, metrics: Dict[str, Any],
+              prefix: str = "train") -> None:
+        row = {"step": step, "prefix": prefix,
+               **{k: float(v) for k, v in metrics.items()}}
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+
+class Trainer:
+    def __init__(self, model, cfg: Any, work_dir: str,
+                 mesh: Optional[Any] = None):
+        self.model = model
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.train_step = make_train_step(model, cfg)
+        self.eval_step = make_eval_step(model, cfg)
+        self.ckpt = CheckpointManager(work_dir, keep=cfg["num_ckpt_keep"],
+                                      save_best=cfg["save_best"])
+        self.metrics = MetricsWriter(work_dir)
+        self.rng = jax.random.PRNGKey(cfg["seed"])
+
+    # ------------------------------------------------------------------
+    def fit(self, train_batches: Iterable[Dict],
+            valid_batches_fn=None, max_updates: Optional[int] = None,
+            example_batch: Optional[Dict] = None) -> Any:
+        """Run training to ``max_updates``. ``train_batches`` must be an
+        endless (or re-iterable) batch stream; ``valid_batches_fn()`` yields
+        a fresh validation iterator per call."""
+        c = self.cfg
+        max_updates = max_updates or c["max_updates"]
+
+        it = iter(train_batches)
+        if example_batch is None:
+            example_batch = next(it)
+        state = init_state(self.model, c, example_batch, self.rng)
+        state, start = self.ckpt.restore(state)
+        step = start
+
+        t0 = time.time()
+        window_losses: Dict[str, list] = {}
+        while step < max_updates:
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(train_batches)
+                batch = next(it)
+            batch = shard_batch(self._numeric(batch), self.mesh)
+            phase = phase_for_step(step, c)
+            state, m = self.train_step(state, batch, self.rng, phase)
+            step += 1
+
+            for k, v in m.items():
+                window_losses.setdefault(k, []).append(v)
+            if step % c["tb_log_interval"] == 0:
+                logged = {k: float(np.mean([np.asarray(x) for x in v]))
+                          for k, v in window_losses.items()}
+                logged["steps_per_sec"] = c["tb_log_interval"] / \
+                    max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                self.metrics.write(step, logged, "train")
+                window_losses.clear()
+                if not np.isfinite(logged.get("total_loss", 0.0)):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {logged}")
+
+            if step % c["val_check_interval"] == 0:
+                val_loss = None
+                if valid_batches_fn is not None:
+                    val_loss = self.validate(state, valid_batches_fn(), step,
+                                             phase)
+                self.ckpt.save(step, state, val_loss)
+        return state
+
+    # ------------------------------------------------------------------
+    def validate(self, state, batches: Iterable[Dict], step: int,
+                 phase: Phase) -> float:
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in batches:
+            batch = shard_batch(self._numeric(batch), self.mesh)
+            losses = self.eval_step(state, batch, self.rng, phase)
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        avg = {k: v / max(n, 1) for k, v in sums.items()}
+        self.metrics.write(step, avg, "valid")
+        return avg.get("total_loss", 0.0)
+
+    @staticmethod
+    def _numeric(batch: Dict) -> Dict:
+        return {k: v for k, v in batch.items()
+                if isinstance(v, (np.ndarray, jnp.ndarray))
+                and k not in ("nsamples",)}

@@ -1,0 +1,247 @@
+"""Module-level shape/numerics tests with fixed PRNG (SURVEY.md §4b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stylesinger_tpu.models.common import length_regulator
+from stylesinger_tpu.models.hifigan import (
+    HifiGanGenerator, MultiPeriodDiscriminator, MultiScaleDiscriminator,
+    blocked_phase_cumsum,
+)
+from stylesinger_tpu.models.style import (
+    LocalStyleAdaptor, ProsodyAligner, monotonic_band_attention,
+)
+from stylesinger_tpu.models.stylesinger import (
+    StyleSinger, minmax_denorm_lf0, minmax_norm_lf0,
+)
+from stylesinger_tpu.models.fs2 import FastSpeech2
+from stylesinger_tpu.models.umln import UMLN
+
+KEY = jax.random.PRNGKey(0)
+VOCAB = 20
+
+
+def _batch(tiny_cfg, b=2, tt=8, tm=32, tr=24):
+    nm = tiny_cfg["audio_num_mel_bins"]
+    k = jax.random.split(KEY, 10)
+    tokens = jax.random.randint(k[0], (b, tt), 1, VOCAB)
+    mel2ph = jnp.clip(
+        jnp.cumsum(jax.random.bernoulli(k[1], 0.25, (b, tm)), axis=-1) + 1,
+        None, tt).astype(jnp.int32)
+    f0 = jax.random.uniform(k[2], (b, tm), minval=7.0, maxval=9.0)
+    uv = jax.random.bernoulli(k[3], 0.2, (b, tm)).astype(jnp.float32)
+    return dict(
+        txt_tokens=tokens,
+        mel2ph=mel2ph,
+        spk_embed=jax.random.normal(k[4], (b, 256)),
+        emo_embed=jax.random.normal(k[5], (b, 256)),
+        ref_mels=jax.random.normal(k[6], (b, tr, nm)) * 0.1 + 1.0,
+        ref_f0=jax.random.uniform(k[7], (b, tr), minval=7.0, maxval=9.0),
+        f0=f0, uv=uv,
+        note=jax.random.randint(k[8], (b, tt), 1, 50),
+        note_dur=jax.random.uniform(k[9], (b, tt), minval=0.1, maxval=0.5),
+        note_type=jnp.ones((b, tt), jnp.int32),
+        mels=jax.random.normal(k[6], (b, tm, nm)) * 0.1 - 2.0,
+    )
+
+
+ALL_RNGS = dict(params=KEY, dropout=KEY, umln=KEY, rq=KEY, diffusion=KEY,
+                noise=KEY)
+
+
+# ------------------------------------------------------------------ UMLN
+
+def test_umln_eval_is_identity(tiny_cfg):
+    m = UMLN(hidden_size=32)
+    x = jax.random.normal(KEY, (2, 5, 32))
+    s = jax.random.normal(KEY, (2, 1, 32))
+    params = m.init(ALL_RNGS, x, s, train=False)
+    y = m.apply(params, x, s, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
+def test_umln_train_perturbs(tiny_cfg):
+    m = UMLN(hidden_size=32, p=1.0)
+    x = jax.random.normal(KEY, (2, 5, 32))
+    s = jax.random.normal(KEY, (2, 1, 32))
+    params = m.init(ALL_RNGS, x, s, train=False)
+    y = m.apply(params, x, s, train=True, rngs={"umln": jax.random.PRNGKey(7)})
+    assert y.shape == x.shape
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+# ----------------------------------------------------------------- style
+
+def test_monotonic_band_mask():
+    m = np.asarray(monotonic_band_attention(4, 8))  # k = 2
+    assert m.shape == (4, 8)
+    # query i covers kv [2i-1, 2i+1)
+    assert m[1, 1] == 1 and m[1, 2] == 1 and m[1, 4] == 0
+    assert (m.sum(-1) >= 1).all()
+
+
+def test_prosody_aligner_shapes(tiny_cfg):
+    b, tq, tk, h = 2, 6, 10, 32
+    m = ProsodyAligner(h, num_layers=2, ffn_dim=64)
+    src = jax.random.normal(KEY, (b, tq, h))
+    style = jax.random.normal(KEY, (b, tk, h))
+    src_np = jnp.ones((b, tq))
+    sty_np = jnp.ones((b, tk))
+    params = m.init(ALL_RNGS, src, style, src_np, sty_np)
+    out, gloss, attn = m.apply(params, src, style, src_np, sty_np)
+    assert out.shape == (b, tq, h)
+    assert attn.shape == (b, 2, tq, tk)
+    assert float(gloss) >= 0
+    # forcing mode also runs
+    out_f, _, _ = m.apply(params, src, style, src_np, sty_np, forcing=True)
+    assert out_f.shape == (b, tq, h)
+
+
+def test_local_style_adaptor(tiny_cfg):
+    b, t, h = 2, 16, 32
+    m = LocalStyleAdaptor(h, n_codes=8, rq_depth=2)
+    mels = jax.random.normal(KEY, (b, t, 80)) * 0.1 + 1.0
+    f0 = jax.random.uniform(KEY, (b, t), minval=7.0, maxval=9.0)
+    variables = m.init(ALL_RNGS, mels, f0, use_rq=True)
+    (style, rq_loss, codes), _ = m.apply(
+        variables, mels, f0, use_rq=True, train=True,
+        rng=jax.random.PRNGKey(3), mutable=["codebook"])
+    assert style.shape == (b, t, h)
+    assert codes.shape == (b, t, 2)
+    assert float(rq_loss) >= 0
+    warm, nl, nc = m.apply(variables, mels, f0, use_rq=False)
+    assert warm.shape == (b, t, h) and nl is None and nc is None
+
+
+# --------------------------------------------------------------- backbone
+
+def test_fastspeech2_train_and_infer(tiny_cfg):
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 48
+    m = FastSpeech2(cfg, VOCAB, out_dims=cfg["audio_num_mel_bins"])
+    b = _batch(tiny_cfg)
+    variables = m.init(ALL_RNGS, b["txt_tokens"], b["mel2ph"],
+                       b["spk_embed"], b["f0"], b["uv"], infer=False)
+    ret = m.apply(variables, b["txt_tokens"], b["mel2ph"], b["spk_embed"],
+                  b["f0"], b["uv"], infer=False,
+                  rngs={"dropout": KEY})
+    assert ret["mel_out"].shape == (2, 32, cfg["audio_num_mel_bins"])
+    assert ret["dur"].shape == b["txt_tokens"].shape
+    assert ret["pitch_pred"].shape == (2, 32, 2)
+    ret_i = m.apply(variables, b["txt_tokens"], None, b["spk_embed"],
+                    None, None, infer=True, max_frames=48)
+    assert ret_i["mel_out"].shape == (2, 48, cfg["audio_num_mel_bins"])
+    assert ret_i["mel2ph"].shape == (2, 48)
+
+
+# ------------------------------------------------------------- stylesinger
+
+@pytest.fixture(scope="module")
+def ss_setup(tiny_cfg):
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 48
+    m = StyleSinger(cfg, VOCAB)
+    b = _batch(tiny_cfg)
+    # in training the style reference IS the ground-truth mel (same clip),
+    # and run_diffsinger uses it as the diffusion target
+    variables = m.init(
+        ALL_RNGS, b["txt_tokens"], b["mel2ph"], b["spk_embed"],
+        b["emo_embed"], b["mels"], b["f0"], b["f0"], b["uv"],
+        b["note"], b["note_dur"], b["note_type"],
+        infer=False, use_rq=True, forcing=False, use_diff=True)
+    return m, b, variables
+
+
+def _apply_train(m, b, variables, **flags):
+    return m.apply(
+        variables, b["txt_tokens"], b["mel2ph"], b["spk_embed"],
+        b["emo_embed"], b["mels"], b["f0"], b["f0"], b["uv"],
+        b["note"], b["note_dur"], b["note_type"], infer=False,
+        rngs={k: jax.random.PRNGKey(i) for i, k in enumerate(
+            ["dropout", "umln", "rq", "diffusion"])},
+        mutable=["codebook"], **flags)
+
+
+def test_stylesinger_train_full(ss_setup):
+    m, b, variables = ss_setup
+    ret, updates = _apply_train(m, b, variables, use_rq=True, forcing=False,
+                                use_diff=True)
+    assert ret["mel_out"].shape == (2, 32, m.cfg["audio_num_mel_bins"])
+    for k in ("rq_loss", "gloss", "mdiff1", "gdiff1", "mdiff2", "gdiff2",
+              "diff_loss"):
+        assert np.isfinite(float(ret[k])), k
+    assert "codebook" in updates
+
+
+def test_stylesinger_train_warmup_phase(ss_setup):
+    m, b, variables = ss_setup
+    ret, _ = _apply_train(m, b, variables, use_rq=False, forcing=True,
+                          use_diff=False)
+    assert "rq_loss" not in ret
+    assert "diff_loss" not in ret
+    assert np.isfinite(float(ret["gloss"]))
+
+
+def test_stylesinger_infer(ss_setup):
+    m, b, variables = ss_setup
+    ret = m.apply(
+        variables, b["txt_tokens"], None, b["spk_embed"], b["emo_embed"],
+        b["ref_mels"], b["ref_f0"], None, None,
+        b["note"], b["note_dur"], b["note_type"],
+        infer=True, use_diff=True, max_frames=48,
+        rngs={"diffusion": KEY, "rq": KEY})
+    assert ret["mel_out"].shape == (2, 48, m.cfg["audio_num_mel_bins"])
+    assert ret["f0_denorm"].shape == (2, 48)
+    assert np.isfinite(np.asarray(ret["mel_out"])).all()
+
+
+# ----------------------------------------------------------------- hifigan
+
+def test_blocked_phase_cumsum_matches_naive():
+    rad = jax.random.uniform(KEY, (1, 64, 3)) * 0.02
+    blocked = np.asarray(blocked_phase_cumsum(rad, 16))
+    naive = np.cumsum(np.asarray(rad), axis=1)
+    np.testing.assert_allclose(
+        np.sin(2 * np.pi * blocked), np.sin(2 * np.pi * naive), atol=1e-4)
+
+
+def test_hifigan_generator(tiny_cfg):
+    m = HifiGanGenerator(tiny_cfg)
+    mel = jax.random.normal(KEY, (1, 20, 80))
+    f0 = jnp.full((1, 20), 220.0)
+    hop = int(np.prod(tiny_cfg["upsample_rates"]))
+    variables = m.init(ALL_RNGS, mel, f0)
+    wav = m.apply(variables, mel, f0, rngs={"noise": KEY})
+    assert wav.shape == (1, 20 * hop)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_discriminators(tiny_cfg):
+    wav = jax.random.normal(KEY, (2, 1024)) * 0.1
+    mpd = MultiPeriodDiscriminator()
+    v = mpd.init(KEY, wav)
+    outs, feats = mpd.apply(v, wav)
+    assert len(outs) == 5 and len(feats) == 5
+    msd = MultiScaleDiscriminator()
+    v = msd.init(KEY, wav)
+    outs, feats = msd.apply(v, wav)
+    assert len(outs) == 3
+
+
+# ------------------------------------------------------------------ misc
+
+def test_minmax_roundtrip():
+    x = jnp.asarray([6.5, 8.0, 9.9])
+    np.testing.assert_allclose(
+        np.asarray(minmax_denorm_lf0(minmax_norm_lf0(x))), np.asarray(x),
+        rtol=1e-6)
+
+
+def test_length_regulator_static():
+    dur = jnp.asarray([[2, 3, 1]])
+    pad = jnp.zeros((1, 3))
+    m = np.asarray(length_regulator(dur, pad, 10))
+    np.testing.assert_array_equal(m[0], [1, 1, 2, 2, 2, 3, 0, 0, 0, 0])

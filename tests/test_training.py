@@ -1,0 +1,116 @@
+"""Training stack tests: losses, schedule, and a sharded end-to-end step
+on the virtual 8-device CPU mesh (SURVEY.md §4c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stylesinger_tpu.data import StyleSingerDataset, collate_batch
+from stylesinger_tpu.parallel import make_mesh, shard_batch
+from stylesinger_tpu.training import (
+    Phase, compute_losses, duration_losses, init_state, make_train_step,
+    mel_losses, phase_for_step, rsqrt_schedule, ssim,
+)
+from stylesinger_tpu.models.stylesinger import StyleSinger
+
+VOCAB = 20
+
+
+# ----------------------------------------------------------------- losses
+
+def test_ssim_identity():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 24, 24)) * 4
+    s = np.asarray(ssim(x, x))
+    assert s.mean() > 0.99
+
+
+def test_mel_losses_zero_for_equal():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 80))
+    out = mel_losses(x, x, "l1:0.5|ssim:0.5")
+    assert abs(float(out["l1"])) < 1e-6
+    assert abs(float(out["ssim"])) < 1e-3
+
+
+def test_duration_losses_zero_for_perfect(tiny_cfg):
+    tokens = jnp.asarray([[1, 2, 3, 0]])
+    mel2ph = jnp.asarray([[1, 1, 2, 3, 3, 3, 0, 0]])
+    dur_gt = jnp.asarray([[2.0, 1.0, 3.0, 0.0]])
+    log_dur = jnp.log(dur_gt + 1)
+    out = duration_losses(log_dur, mel2ph, tokens, dict(tiny_cfg))
+    assert abs(float(out["pdur"])) < 1e-6
+    assert abs(float(out["sdur"])) < 1e-6
+
+
+def test_rsqrt_schedule():
+    s = rsqrt_schedule(2.0, 100, 256)
+    lrs = [float(s(t)) for t in (1, 50, 100, 400)]
+    assert lrs[0] < lrs[1] < lrs[2]      # warmup rises
+    assert lrs[3] < lrs[2]               # decay falls
+    np.testing.assert_allclose(lrs[2], 2.0 * 100 ** -0.5 * 256 ** -0.5,
+                               rtol=1e-5)
+
+
+def test_phase_for_step(tiny_cfg):
+    c = dict(tiny_cfg)
+    c.update(rq_start=100, forcing=50, diff_start=200, decoder="diffsinger")
+    assert phase_for_step(0, c) == Phase(False, True, False)
+    assert phase_for_step(60, c) == Phase(False, False, False)
+    assert phase_for_step(150, c) == Phase(True, False, False)
+    assert phase_for_step(300, c) == Phase(True, False, True)
+
+
+# ------------------------------------------------------- end-to-end step
+
+def _synthetic_batch(cfg, rng, n=4):
+    items = []
+    for i in range(n):
+        t = int(rng.integers(16, 30))
+        tt = max(2, t // 4)
+        items.append({
+            "item_name": f"i{i}",
+            "mel": rng.standard_normal((t, cfg["audio_num_mel_bins"])).astype(np.float32) * 0.5 - 2,
+            "mel2ph": np.repeat(np.arange(1, tt + 1), 4)[:t],
+            "f0": np.abs(rng.standard_normal(t)).astype(np.float32) * 100
+            + 150,
+            "ph_token": rng.integers(1, VOCAB, tt),
+            "ep_pitches": rng.integers(40, 80, tt),
+            "ep_notedurs": rng.uniform(0.1, 0.6, tt).astype(np.float32),
+            "ep_types": np.ones(tt, np.int64),
+            "spk_embed": rng.standard_normal(256).astype(np.float32),
+            "emo_embed": rng.standard_normal(256).astype(np.float32),
+        })
+    ds = StyleSingerDataset(cfg, "train", items=items)
+    return collate_batch([ds[i] for i in range(n)],
+                         cfg["frame_buckets"], cfg["token_buckets"])
+
+
+def test_train_step_on_mesh(tiny_cfg, rng):
+    assert jax.device_count() == 8
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _synthetic_batch(cfg, rng, n=8)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    sbatch = shard_batch(batch, mesh)
+
+    state = init_state(model, cfg, batch)
+    # snapshot before the (donated) step invalidates the old buffers
+    param_leaf0 = np.asarray(jax.tree_util.tree_leaves(state.params)[-1])
+    cb0 = np.asarray(jax.tree_util.tree_leaves(state.codebook)[0])
+
+    step_fn = make_train_step(model, cfg)
+    phase = Phase(use_rq=True, forcing=False, use_diff=True)
+    state2, metrics = step_fn(state, sbatch, jax.random.PRNGKey(0), phase)
+
+    assert int(state2.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # params actually moved; codebook EMA updated
+    param_leaf1 = np.asarray(jax.tree_util.tree_leaves(state2.params)[-1])
+    cb1 = np.asarray(jax.tree_util.tree_leaves(state2.codebook)[0])
+    assert not np.allclose(param_leaf0, param_leaf1)
+    assert not np.allclose(cb0, cb1)
