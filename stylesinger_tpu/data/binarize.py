@@ -162,6 +162,10 @@ class StyleSingingBinarizer:
                  "train": self.train_names}[prefix]
         builder = IndexedDatasetBuilder(
             os.path.join(self.binary_dir, prefix))
+        tsd = None
+        if c.get("write_tsd", True):
+            from stylesinger_tpu.data.native_loader import TsdWriter
+            tsd = TsdWriter(os.path.join(self.binary_dir, prefix))
         lengths, total_sec = [], 0.0
         ba = c["binarization_args"]
         for name in names:
@@ -180,7 +184,14 @@ class StyleSingingBinarizer:
             lengths.append(item["len"])
             total_sec += item["sec"]
             builder.add_item(item)
+            if tsd is not None:
+                tsd.add_item({k: v for k, v in item.items()
+                              if isinstance(v, (np.ndarray, list, int,
+                                                float))
+                              and not isinstance(v, bool)})
         builder.finalize()
+        if tsd is not None:
+            tsd.finalize()
         np.save(os.path.join(self.binary_dir, f"{prefix}_lengths.npy"),
                 lengths)
         print(f"| {prefix}: {len(lengths)} items, {total_sec:.1f}s audio")
