@@ -87,11 +87,24 @@ def _hann_periodic(win_length: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def frame_signal(wav: jnp.ndarray, n_fft: int, hop_size: int) -> jnp.ndarray:
-    """Center-pad (constant zeros) and frame [..., T] -> [..., N, n_fft]."""
+    """Center-pad (constant zeros) and frame [..., T] -> [..., N, n_fft].
+
+    When ``n_fft`` is a multiple of ``hop_size`` (the 1024/256 default),
+    framing is k contiguous slices of a [..., nb, hop] reshape concatenated
+    on the last axis — pure data movement.  TPU gathers with a [N, n_fft]
+    index matrix are orders of magnitude slower.
+    """
     pad = n_fft // 2
     wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)])
     t = wav.shape[-1]
     n_frames = 1 + (t - n_fft) // hop_size
+    if n_fft % hop_size == 0:
+        k = n_fft // hop_size
+        nb = n_frames - 1 + k
+        blocks = wav[..., : nb * hop_size].reshape(
+            wav.shape[:-1] + (nb, hop_size))
+        return jnp.concatenate(
+            [blocks[..., i: i + n_frames, :] for i in range(k)], axis=-1)
     idx = (jnp.arange(n_frames)[:, None] * hop_size + jnp.arange(n_fft)[None, :])
     return wav[..., idx]
 

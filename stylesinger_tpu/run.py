@@ -1,0 +1,80 @@
+"""Unified CLI: binarize / train / infer.
+
+Parity targets: ``tasks/run.py`` (task launcher), ``data_gen/tts/bin/
+binarize.py`` (binarize CLI), and ``inference/StyleSinger.py`` __main__
+(demo synthesis) in AaronZ345/StyleSinger — collapsed into one entry point:
+
+  python -m stylesinger_tpu.run train    --config egs/stylesinger.yaml --exp_name EXP
+  python -m stylesinger_tpu.run binarize --config egs/stylesinger.yaml
+  python -m stylesinger_tpu.run infer    --config egs/stylesinger.yaml --exp_name EXP
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser("stylesinger_tpu")
+    ap.add_argument("command", choices=["train", "binarize", "infer"])
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--exp_name", default="stylesinger")
+    ap.add_argument("--hparams", default="",
+                    help="'a=1,b.c=2' overrides (reference --hparams)")
+    ap.add_argument("--work_dir_root", default="checkpoints")
+    ap.add_argument("--ref_audio", default=None)
+    ap.add_argument("--out", default="infer_out/test.wav")
+    args = ap.parse_args()
+
+    from stylesinger_tpu.config import load_config, save_config
+
+    cfg = load_config(args.config, args.hparams)
+    work_dir = os.path.join(args.work_dir_root, args.exp_name)
+    cfg["work_dir"] = work_dir
+
+    if args.command == "binarize":
+        from stylesinger_tpu.data.binarize import binarize
+        binarize(cfg)
+        return
+
+    if args.command == "train":
+        from stylesinger_tpu.data import BucketBatcher, StyleSingerDataset
+        from stylesinger_tpu.models.stylesinger import StyleSinger
+        from stylesinger_tpu.text import build_token_encoder
+        from stylesinger_tpu.training.trainer import Trainer
+
+        save_config(cfg, work_dir)
+        ph_set = os.path.join(cfg["binary_data_dir"], "phone_set.json")
+        encoder = build_token_encoder(ph_set)
+        model = StyleSinger(cfg, len(encoder))
+        train_ds = StyleSingerDataset(cfg, cfg["train_set_name"])
+        valid_ds = StyleSingerDataset(cfg, cfg["valid_set_name"])
+        trainer = Trainer(model, cfg, work_dir)
+
+        def endless():
+            epoch = 0
+            while True:
+                bb = BucketBatcher(train_ds, cfg, shuffle=True,
+                                   seed=cfg["seed"])
+                yield from bb.batches(epoch)
+                epoch += 1
+
+        def valid_batches():
+            bb = BucketBatcher(valid_ds, cfg, shuffle=False,
+                               max_tokens=cfg["max_valid_tokens"],
+                               max_sentences=cfg["max_valid_sentences"])
+            return bb.batches(0)
+
+        trainer.fit(endless(), valid_batches)
+        return
+
+    if args.command == "infer":
+        from stylesinger_tpu.inference import example_run
+        out = example_run(cfg, out_path=args.out)
+        print(f"| wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

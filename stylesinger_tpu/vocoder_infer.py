@@ -1,0 +1,111 @@
+"""Vocoder inference registry.
+
+Parity target: ``tasks/tts/vocoder_infer/base_vocoder.py:9-29`` in
+AaronZ345/StyleSinger (``register_vocoder`` + ``get_vocoder_cls`` +
+``BaseVocoder.spec2wav``) and the HifiGAN_NSF wrapper
+(``hifigan_nsf.py:46-76``: load latest checkpoint, fold weight norm,
+mel+f0 -> wav with optional spectral denoise).
+
+Registered here: ``HifiGAN_NSF`` (flax generator, orbax/TrainState params)
+and ``GriffinLim`` (no-checkpoint DSP fallback).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Type
+
+import numpy as np
+
+VOCODERS: Dict[str, Type["BaseVocoder"]] = {}
+
+
+def register_vocoder(cls: Type["BaseVocoder"]) -> Type["BaseVocoder"]:
+    VOCODERS[cls.__name__] = cls
+    return cls
+
+
+def get_vocoder_cls(cfg: Any) -> Type["BaseVocoder"]:
+    return VOCODERS[cfg["vocoder"]]
+
+
+class BaseVocoder:
+    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
+        """mel [T, M] -> wav [T * hop]."""
+        raise NotImplementedError
+
+
+@register_vocoder
+class HifiGAN_NSF(BaseVocoder):
+    def __init__(self, cfg: Any, params: Optional[Any] = None,
+                 rng_seed: int = 0):
+        import jax
+
+        from stylesinger_tpu.models.hifigan import HifiGanGenerator
+
+        self.cfg = cfg
+        self.model = HifiGanGenerator(cfg)
+        self._rng = jax.random.PRNGKey(rng_seed)
+        if params is None:
+            params = self._load_or_init()
+        self.params = params
+        self._jit = jax.jit(
+            lambda p, mel, f0, rng: self.model.apply(
+                {"params": p}, mel, f0, rngs={"noise": rng}))
+
+    def _load_or_init(self):
+        import jax
+        import jax.numpy as jnp
+
+        ckpt = self.cfg.get("vocoder_ckpt", "")
+        if ckpt and os.path.exists(ckpt):
+            try:
+                import orbax.checkpoint as ocp
+                return ocp.StandardCheckpointer().restore(ckpt)["gen_params"]
+            except Exception:
+                pass
+        probe_mel = jnp.zeros((1, 16, self.cfg["audio_num_mel_bins"]))
+        probe_f0 = jnp.full((1, 16), 200.0)
+        return self.model.init({"params": self._rng, "noise": self._rng},
+                               probe_mel, probe_f0)["params"]
+
+    def spec2wav(self, mel: np.ndarray, f0: Optional[np.ndarray] = None,
+                 **kwargs) -> np.ndarray:
+        import jax.numpy as jnp
+
+        c = self.cfg
+        mel_b = jnp.asarray(mel)[None]
+        if f0 is None:
+            f0 = np.zeros(mel.shape[0], np.float32)
+        f0_b = jnp.asarray(f0)[None, : mel.shape[0]]
+        wav = np.asarray(self._jit(self.params, mel_b, f0_b, self._rng))[0]
+        if c.get("vocoder_denoise_c", 0.0) > 0:
+            from stylesinger_tpu.dsp.denoise import denoise
+            import jax.numpy as jnp2
+            wav = np.asarray(denoise(
+                jnp2.asarray(wav), c["vocoder_denoise_c"],
+                n_fft=c["fft_size"], hop_size=c["hop_size"],
+                win_length=c["win_size"]))
+        return wav
+
+
+@register_vocoder
+class GriffinLim(BaseVocoder):
+    """DSP fallback: approximate linear spec from mel + phase fitting."""
+
+    def __init__(self, cfg: Any):
+        self.cfg = cfg
+
+    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from stylesinger_tpu.dsp.griffin_lim import griffin_lim, mel_to_linear
+
+        c = self.cfg
+        mag = mel_to_linear(
+            jnp.asarray(mel), sample_rate=c["audio_sample_rate"],
+            n_fft=c["fft_size"], n_mels=c["audio_num_mel_bins"],
+            fmin=c["fmin"], fmax=c["fmax"])
+        return np.asarray(griffin_lim(
+            mag, n_fft=c["fft_size"], hop_size=c["hop_size"],
+            win_length=c["win_size"]))

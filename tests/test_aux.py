@@ -1,0 +1,172 @@
+"""Auxiliary components: Griffin-Lim, VAD, DTW, denoise, PE, plots,
+vocoder registry, GE2E encoders."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stylesinger_tpu.dsp.dtw import align_from_distances, dtw_distance
+from stylesinger_tpu.dsp.griffin_lim import griffin_lim, istft, mel_to_linear
+from stylesinger_tpu.dsp.mel import frame_signal, wav2spec_np
+from stylesinger_tpu.dsp.vad import trim_long_silences
+from stylesinger_tpu.models.encoders import (
+    UtteranceEncoder, compute_partial_slices, ge2e_loss, ge2e_mel_np,
+)
+from stylesinger_tpu.models.pe import PitchExtractor, pe_loss
+
+
+def _sine(f, sr, dur):
+    t = np.arange(int(sr * dur)) / sr
+    return np.sin(2 * np.pi * f * t).astype(np.float32)
+
+
+# ------------------------------------------------------------ griffin-lim
+
+def test_istft_inverts_stft(rng):
+    wav = rng.standard_normal(4096).astype(np.float32) * 0.3
+    frames = frame_signal(jnp.asarray(wav), 512, 128)
+    from stylesinger_tpu.dsp.griffin_lim import _window
+    window = jnp.asarray(_window(512, 512))
+    spec = jnp.fft.rfft(frames * window, n=512, axis=-1)
+    rec = np.asarray(istft(spec, 512, 128, 512))
+    n = min(len(rec), len(wav))
+    np.testing.assert_allclose(rec[256: n - 256], wav[256: n - 256],
+                               atol=1e-3)
+
+
+def test_griffin_lim_reconstructs_tone():
+    sr = 24000
+    wav = _sine(440.0, sr, 0.4) * 0.5
+    frames = frame_signal(jnp.asarray(wav), 512, 128)
+    from stylesinger_tpu.dsp.griffin_lim import _window
+    window = jnp.asarray(_window(512, 512))
+    mag = jnp.abs(jnp.fft.rfft(frames * window, n=512, axis=-1))
+    rec = np.asarray(griffin_lim(mag, n_fft=512, hop_size=128,
+                                 win_length=512, n_iters=16))
+    # the reconstruction should be dominated by the same frequency
+    spec = np.abs(np.fft.rfft(rec))
+    assert abs(np.argmax(spec) * sr / len(rec) - 440.0) < 15.0
+
+
+def test_mel_to_linear_shape():
+    mel = jnp.zeros((10, 80)) - 2.0
+    lin = mel_to_linear(mel)
+    assert lin.shape == (10, 513)
+    assert (np.asarray(lin) > 0).all()
+
+
+# -------------------------------------------------------------------- vad
+
+def test_trim_long_silences():
+    sr = 16000
+    voiced = _sine(220.0, sr, 0.5) * 0.5
+    sil = np.zeros(sr)  # 1s silence: should be trimmed
+    wav = np.concatenate([voiced, sil, voiced])
+    trimmed, mask = trim_long_silences(wav, sr)
+    assert len(trimmed) < len(wav) - sr // 2
+    assert mask.dtype == bool and mask.shape == wav.shape
+
+
+# -------------------------------------------------------------------- dtw
+
+def test_dtw_identity_is_zeroish(rng):
+    x = jnp.asarray(rng.standard_normal((20, 4)).astype(np.float32))
+    d = float(dtw_distance(x, x))
+    assert d < 20 * 1e-3 + 1e-3
+
+
+def test_dtw_orders():
+    a = jnp.asarray(np.sin(np.linspace(0, 3, 30))[:, None].astype(np.float32))
+    b = jnp.asarray(np.sin(np.linspace(0, 3, 40))[:, None].astype(np.float32))
+    c = jnp.asarray(np.cos(np.linspace(0, 3, 40))[:, None].astype(np.float32))
+    assert float(dtw_distance(a, b)) < float(dtw_distance(a, c))
+
+
+def test_align_from_distances_monotonic(rng):
+    d = rng.random((8, 12)).astype(np.float32)
+    path = align_from_distances(d)
+    assert len(path) == 8
+    assert (np.diff(path) >= 0).all()
+    assert path.max() < 12
+
+
+# --------------------------------------------------------------------- pe
+
+def test_pitch_extractor(tiny_cfg):
+    cfg = dict(tiny_cfg)
+    m = PitchExtractor(cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(0),
+                            (2, 24, cfg["audio_num_mel_bins"]))
+    v = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, mel)
+    ret = m.apply(v, mel)
+    assert ret["pitch_pred"].shape == (2, 24, 2)
+    f0 = jax.random.uniform(jax.random.PRNGKey(2), (2, 24), minval=7.0,
+                            maxval=9.0)
+    uv = jnp.zeros((2, 24))
+    losses = pe_loss(ret, f0, uv, cfg)
+    assert np.isfinite(float(losses["f0"]))
+    assert np.isfinite(float(losses["uv"]))
+
+
+# ------------------------------------------------------------------- ge2e
+
+def test_ge2e_embed_and_loss(rng):
+    mel = rng.standard_normal((200, 40)).astype(np.float32)
+    enc = UtteranceEncoder(hidden_size=32, embed_size=16)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 40)))
+    e = enc.embed_utterance(v, mel)
+    assert e.shape == (16,)
+    np.testing.assert_allclose(np.linalg.norm(e), 1.0, rtol=1e-4)
+    slices = compute_partial_slices(400)
+    assert slices[0] == (0, 160)
+    assert all(e - s == 160 for s, e in slices)
+
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 16))
+    embeds = embeds / jnp.linalg.norm(embeds, axis=-1, keepdims=True)
+    loss = float(ge2e_loss(embeds, jnp.asarray(10.0), jnp.asarray(-5.0)))
+    assert np.isfinite(loss) and loss > 0
+
+
+def test_ge2e_mel_frontend():
+    sr = 16000
+    wav = _sine(300.0, sr, 0.5)
+    mel = ge2e_mel_np(wav)
+    assert mel.shape[1] == 40
+    assert np.isfinite(mel).all()
+
+
+# ---------------------------------------------------------------- vocoder
+
+def test_vocoder_registry(tiny_cfg):
+    from stylesinger_tpu.vocoder_infer import get_vocoder_cls
+
+    cfg = dict(tiny_cfg)
+    cfg["vocoder"] = "HifiGAN_NSF"
+    cfg["hop_size"] = 64
+    voc = get_vocoder_cls(cfg)(cfg)
+    mel = np.zeros((12, cfg["audio_num_mel_bins"]), np.float32) - 2.0
+    f0 = np.full(12, 220.0, np.float32)
+    wav = voc.spec2wav(mel, f0=f0)
+    assert wav.shape == (12 * 64,)
+
+    cfg2 = dict(tiny_cfg)
+    cfg2["vocoder"] = "GriffinLim"
+    cfg2.update(fft_size=512, win_size=512, hop_size=128,
+                audio_num_mel_bins=80, audio_sample_rate=24000, fmax=12000)
+    voc2 = get_vocoder_cls(cfg2)(cfg2)
+    wav2 = voc2.spec2wav(np.zeros((12, 80), np.float32) - 2.0)
+    assert np.isfinite(wav2).all()
+
+
+# ------------------------------------------------------------------- plot
+
+def test_plot_figures():
+    from stylesinger_tpu.utils.plot import (
+        f0_to_figure, figure_to_image, spec_to_figure,
+    )
+    img = figure_to_image(spec_to_figure(np.zeros((20, 80))))
+    assert img.ndim == 3 and img.shape[2] == 3
+    img2 = figure_to_image(f0_to_figure(np.ones(10) * 200,
+                                        f0_pred=np.ones(10) * 210))
+    assert img2.ndim == 3
