@@ -1,0 +1,393 @@
+"""torch-checkpoint -> flax-parameter converters.
+
+Migration path for users of the reference (AaronZ345/StyleSinger): load a
+PyTorch ``model_ckpt_steps_N.ckpt`` ``state_dict`` and emit the parameter
+pytree of the flax models in this framework, module by module
+(SURVEY.md §7 "checkpoint conversion" hard part).
+
+Layout rules (torch -> flax):
+- Linear  [out, in]        -> Dense kernel [in, out]
+- Conv1d  [out, in, k]     -> Conv kernel [k, in, out]
+- ConvT1d [in, out, k]     -> ConvTranspose(transpose_kernel=True)
+                              kernel [k, out, in]
+- Embedding / LayerNorm    -> unchanged / (scale, bias)
+- weight-norm (weight_g/weight_v) is folded: w = g * v / ||v||_(in,k)
+- fused qkv: reference in_proj_weight [3c, c] -> qkv Dense kernel [c, 3c]
+
+Every converter is covered by a numerical parity test against the actual
+reference torch modules (tests/test_convert.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def lin(sd: Mapping, name: str, bias: bool = True) -> Dict:
+    out = {"kernel": _np(sd[f"{name}.weight"]).T}
+    if bias and f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def conv1d(sd: Mapping, name: str) -> Dict:
+    out = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def conv1d_wn(sd: Mapping, name: str) -> Dict:
+    """Weight-normed Conv1d: fold g * v / ||v|| over (in, k) per out ch."""
+    if f"{name}.weight" in sd:  # already remove_weight_norm'ed
+        return conv1d(sd, name)
+    g = _np(sd[f"{name}.weight_g"])
+    v = _np(sd[f"{name}.weight_v"])
+    norm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)
+    out = {"kernel": w.transpose(2, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def convT1d_wn(sd: Mapping, name: str) -> Dict:
+    """Weight-normed ConvTranspose1d [in, out, k] -> [k, out, in]."""
+    if f"{name}.weight" in sd:
+        w = _np(sd[f"{name}.weight"])
+    else:
+        g = _np(sd[f"{name}.weight_g"])
+        v = _np(sd[f"{name}.weight_v"])
+        norm = np.sqrt((v ** 2).sum(axis=(0, 2), keepdims=True))
+        w = g * v / np.maximum(norm, 1e-12)
+    out = {"kernel": w.transpose(2, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def ln(sd: Mapping, name: str) -> Dict:
+    return {"scale": _np(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def emb(sd: Mapping, name: str) -> Dict:
+    return {"embedding": _np(sd[f"{name}.weight"])}
+
+
+# ---------------------------------------------------------------------------
+# transformer / predictors
+# ---------------------------------------------------------------------------
+
+def convert_enc_sa_layer(sd: Mapping, p: str) -> Dict:
+    """Reference ``EncSALayer`` (common_layers.py:624) -> models.common
+    ``EncSALayer`` params. ``p`` like 'layers.0.op'."""
+    qkv = _np(sd[f"{p}.self_attn.in_proj_weight"])  # [3c, c]
+    out = {
+        "LayerNorm_0": ln(sd, f"{p}.layer_norm1"),
+        "MultiheadSelfAttention_0": {
+            "qkv": {"kernel": qkv.T},
+            "out": {"kernel": _np(sd[f"{p}.self_attn.out_proj.weight"]).T},
+        },
+        "LayerNorm_1": ln(sd, f"{p}.layer_norm2"),
+        "TransformerFFN_0": {
+            "Conv_0": conv1d(sd, f"{p}.ffn.ffn_1"),
+            "LambdaDense_0": {"Dense_0": lin(sd, f"{p}.ffn.ffn_2")},
+        },
+    }
+    return out
+
+
+def convert_fft_blocks(sd: Mapping, prefix: str, num_layers: int,
+                       use_pos_embed: bool = True,
+                       use_last_norm: bool = True) -> Dict:
+    """Reference ``FFTBlocks`` (tts_modules.py:250) -> models.common
+    ``FFTBlocks``."""
+    sd = {k[len(prefix):]: v for k, v in sd.items()
+          if k.startswith(prefix)}
+    out: Dict[str, Any] = {}
+    for i in range(num_layers):
+        out[f"layer_{i}"] = convert_enc_sa_layer(sd, f"layers.{i}.op")
+    if use_pos_embed and "pos_embed_alpha" in sd:
+        out["pos_embed_alpha"] = _np(sd["pos_embed_alpha"])
+    if use_last_norm and "layer_norm.weight" in sd:
+        out["LayerNorm_0"] = ln(sd, "layer_norm")
+    return out
+
+
+def convert_fastspeech_encoder(sd: Mapping, prefix: str,
+                               num_layers: int) -> Dict:
+    """Reference ``FastspeechEncoder`` -> models.common counterpart."""
+    out = {"embed_tokens": emb(sd, f"{prefix}embed_tokens"),
+           "blocks": convert_fft_blocks(sd, prefix, num_layers,
+                                        use_pos_embed=False)}
+    return out
+
+
+def convert_duration_predictor(sd: Mapping, prefix: str,
+                               n_layers: int = 2) -> Dict:
+    """Reference ``DurationPredictor`` (tts_modules.py:58): Sequential
+    conv.i = [pad, Conv1d, ReLU, LayerNorm, Dropout]."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"conv_{i}"] = conv1d(sd, f"{prefix}conv.{i}.1")
+        out[f"ln_{i}"] = ln(sd, f"{prefix}conv.{i}.3")
+    out["out"] = lin(sd, f"{prefix}linear")
+    return out
+
+
+def convert_pitch_predictor(sd: Mapping, prefix: str,
+                            n_layers: int = 5) -> Dict:
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"conv_{i}"] = conv1d(sd, f"{prefix}conv.{i}.1")
+        out[f"ln_{i}"] = ln(sd, f"{prefix}conv.{i}.3")
+    out["out"] = lin(sd, f"{prefix}linear")
+    if f"{prefix}pos_embed_alpha" in sd:
+        out["pos_embed_alpha"] = _np(sd[f"{prefix}pos_embed_alpha"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# style stack
+# ---------------------------------------------------------------------------
+
+def convert_wn(sd: Mapping, prefix: str, n_layers: int = 4,
+               has_cond: bool = False) -> Dict:
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        out[f"in_{i}"] = conv1d_wn(sd, f"{prefix}in_layers.{i}")
+        out[f"res_skip_{i}"] = conv1d_wn(sd, f"{prefix}res_skip_layers.{i}")
+    if has_cond:
+        out["cond"] = conv1d_wn(sd, f"{prefix}cond_layer")
+    return out
+
+
+def convert_conv_blocks(sd: Mapping, prefix: str, n_dilations: int = 5,
+                        n_inner: int = 2) -> Dict:
+    """Reference lse ``ConvBlocks``: res_blocks.i.blocks.j = Sequential
+    [LayerNorm(dim=1), Conv1d(c->2c), Lambda, GELU, Conv1d(2c->c, 1)]."""
+    out: Dict[str, Any] = {}
+    for i in range(n_dilations):
+        res: Dict[str, Any] = {}
+        for j in range(n_inner):
+            base = f"{prefix}res_blocks.{i}.blocks.{j}"
+            res[f"ln_{j}"] = {
+                "scale": _np(sd[f"{base}.0.gamma"]).reshape(-1)
+                if f"{base}.0.gamma" in sd else
+                _np(sd[f"{base}.0.weight"]).reshape(-1),
+                "bias": _np(sd[f"{base}.0.beta"]).reshape(-1)
+                if f"{base}.0.beta" in sd else
+                _np(sd[f"{base}.0.bias"]).reshape(-1),
+            }
+            res[f"conv_a_{j}"] = conv1d(sd, f"{base}.1")
+            res[f"conv_b_{j}"] = conv1d(sd, f"{base}.4")
+        out[f"res_{i}"] = res
+    out["last_norm"] = {
+        "scale": _np(sd.get(f"{prefix}last_norm.gamma",
+                            sd.get(f"{prefix}last_norm.weight"))).reshape(-1),
+        "bias": _np(sd.get(f"{prefix}last_norm.beta",
+                           sd.get(f"{prefix}last_norm.bias"))).reshape(-1),
+    }
+    out["post"] = conv1d(sd, f"{prefix}post_net1")
+    return out
+
+
+def convert_rq(sd: Mapping, prefix: str, depth: int = 4):
+    """Reference ``RQBottleneck`` -> (params={}, codebook collection).
+    Reference codebook weight has an extra padding row (RQ.py:14)."""
+    codebook: Dict[str, Any] = {}
+    for i in range(depth):
+        codebook[f"codebook_{i}"] = {
+            "embedding": _np(sd[f"{prefix}codebooks.{i}.weight"])[:-1],
+            "cluster_size_ema":
+                _np(sd[f"{prefix}codebooks.{i}.cluster_size_ema"]),
+            "embed_ema": _np(sd[f"{prefix}codebooks.{i}.embed_ema"]),
+        }
+    return codebook
+
+
+def convert_cross_atten_layer(sd: Mapping, p: str) -> Dict:
+    """Reference ``CrossAttenLayer`` (lse.py:16): torch nn.MultiheadAttention
+    + post-norm FFN."""
+    w = _np(sd[f"{p}.multihead_attn.in_proj_weight"])  # [3c, c]
+    b = _np(sd[f"{p}.multihead_attn.in_proj_bias"])    # [3c]
+    c = w.shape[1]
+    mha = {
+        "q": {"kernel": w[:c].T, "bias": b[:c]},
+        "k": {"kernel": w[c:2 * c].T, "bias": b[c:2 * c]},
+        "v": {"kernel": w[2 * c:].T, "bias": b[2 * c:]},
+        "out": lin(sd, f"{p}.multihead_attn.out_proj"),
+    }
+    return {
+        "mha": mha,
+        "linear1": lin(sd, f"{p}.linear1"),
+        "linear2": lin(sd, f"{p}.linear2"),
+        "norm1": ln(sd, f"{p}.norm1"),
+        "norm2": ln(sd, f"{p}.norm2"),
+    }
+
+
+def convert_prosody_aligner(sd: Mapping, prefix: str,
+                            num_layers: int = 2) -> Dict:
+    return {f"layer_{i}": convert_cross_atten_layer(sd, f"{prefix}layers.{i}")
+            for i in range(num_layers)}
+
+
+def convert_local_style_adaptor(sd: Mapping, prefix: str, *,
+                                rq_depth: int = 4, n_dilations: int = 5):
+    params = {
+        "wavenet": convert_wn(sd, f"{prefix}wavenet.", n_layers=4),
+        "encoder": convert_conv_blocks(sd, f"{prefix}encoder.",
+                                       n_dilations=n_dilations),
+    }
+    codebook = {"rq": convert_rq(sd, f"{prefix}rqvae.", depth=rq_depth)}
+    return params, codebook
+
+
+def convert_umln(sd: Mapping, prefix: str) -> Dict:
+    return {"affine": lin(sd, f"{prefix}affine_layer.linear_layer")}
+
+
+# ---------------------------------------------------------------------------
+# diffusion denoisers
+# ---------------------------------------------------------------------------
+
+def _convert_diff_residual(sd: Mapping, p: str) -> Dict:
+    return {
+        "dilated_conv": conv1d(sd, f"{p}.dilated_conv"),
+        "diffusion_projection": lin(sd, f"{p}.diffusion_projection"),
+        "conditioner_projection": conv1d(sd, f"{p}.conditioner_projection"),
+        "output_projection": conv1d(sd, f"{p}.output_projection"),
+    }
+
+
+def convert_ddiffnet(sd: Mapping, prefix: str, n_layers: int = 10) -> Dict:
+    out: Dict[str, Any] = {
+        "input_projection": conv1d(sd, f"{prefix}input_projection"),
+        "uv_embed": emb(sd, f"{prefix}uv_embed"),
+        "mlp": {"fc1": lin(sd, f"{prefix}mlp.0"),
+                "fc2": lin(sd, f"{prefix}mlp.2")},
+        "skip_projection": conv1d(sd, f"{prefix}skip_projection"),
+        "output_projection": conv1d(sd, f"{prefix}output_projection"),
+    }
+    for i in range(n_layers):
+        out[f"residual_{i}"] = _convert_diff_residual(
+            sd, f"{prefix}residual_layers.{i}")
+    return out
+
+
+def convert_diffnet(sd: Mapping, prefix: str, n_layers: int = 20) -> Dict:
+    out: Dict[str, Any] = {
+        "input_projection": conv1d(sd, f"{prefix}input_projection"),
+        "mlp": {"fc1": lin(sd, f"{prefix}mlp.0"),
+                "fc2": lin(sd, f"{prefix}mlp.2")},
+        "skip_projection": conv1d(sd, f"{prefix}skip_projection"),
+        "output_projection": conv1d(sd, f"{prefix}output_projection"),
+    }
+    for i in range(n_layers):
+        out[f"residual_{i}"] = _convert_diff_residual(
+            sd, f"{prefix}residual_layers.{i}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# full models
+# ---------------------------------------------------------------------------
+
+def convert_note_encoder(sd: Mapping, prefix: str) -> Dict:
+    return {"emb": emb(sd, f"{prefix}emb"),
+            "type_emb": emb(sd, f"{prefix}type_emb"),
+            "dur_ln": lin(sd, f"{prefix}dur_ln")}
+
+
+def convert_stylesinger(sd: Mapping, cfg: Any):
+    """Full reference ``StyleSinger`` state_dict -> flax ``variables``
+    ({'params': ..., 'codebook': ...}) for models.stylesinger.StyleSinger."""
+    c = cfg
+    params: Dict[str, Any] = {
+        "encoder": convert_fastspeech_encoder(sd, "encoder.",
+                                              c["enc_layers"]),
+        "note_encoder": convert_note_encoder(sd, "note_encoder."),
+        "spk_embed_proj": lin(sd, "spk_embed_proj"),
+        "dur_predictor": convert_duration_predictor(
+            sd, "dur_predictor.", c["dur_predictor_layers"]),
+        "pitch_embed": emb(sd, "pitch_embed"),
+        "decoder": {"blocks": convert_fft_blocks(
+            sd, "decoder.", c["dec_layers"], use_pos_embed=True)},
+        "mel_out": lin(sd, "mel_out"),
+    }
+    codebook: Dict[str, Any] = {}
+    if c["emo"]:
+        params["emo_embed_proj"] = lin(sd, "emo_embed_proj")
+    if c["umln"]:
+        params["norm"] = convert_umln(sd, "norm.")
+    if c["style"]:
+        lsa_p, lsa_cb = convert_local_style_adaptor(
+            sd, "style_extractor.", rq_depth=c["rq_depth"])
+        params["style_extractor"] = lsa_p
+        codebook["style_extractor"] = lsa_cb
+        params["l1"] = lin(sd, "l1")
+        params["align"] = convert_prosody_aligner(
+            sd, "align.", c["aligner_layers"])
+    if c["f0_gen"] == "gmdiff":
+        params["gm_diffnet"] = convert_ddiffnet(
+            sd, "gm_diffnet.", c["f0_residual_layers"])
+        params["gm_diffnet_inpainte"] = convert_ddiffnet(
+            sd, "gm_diffnet_inpainte.", c["f0_residual_layers"])
+    else:
+        params["pitch_predictor"] = convert_pitch_predictor(
+            sd, "pitch_predictor.")
+        params["pitch_inpainter_predictor"] = convert_pitch_predictor(
+            sd, "pitch_inpainter_predictor.")
+    if c["decoder"] == "diffsinger":
+        params["ln_proj"] = lin(sd, "ln_proj")
+        params["postdiff"] = convert_diffnet(
+            sd, "postdiff.denoise_fn.", c["residual_layers"])
+    return {"params": params, "codebook": codebook}
+
+
+def convert_hifigan(sd: Mapping, cfg: Any) -> Dict:
+    """Reference NSF ``HifiGanGenerator`` state_dict -> flax params
+    (models.hifigan.HifiGanGenerator)."""
+    rates = tuple(cfg["upsample_rates"])
+    rk = tuple(cfg["resblock_kernel_sizes"])
+    rd = tuple(tuple(d) for d in cfg["resblock_dilation_sizes"])
+    params: Dict[str, Any] = {
+        "conv_pre": conv1d_wn(sd, "conv_pre"),
+        "conv_post": conv1d_wn(sd, "conv_post"),
+    }
+    if any(k.startswith("m_source.") for k in sd):
+        params["m_source"] = {"merge": lin(sd, "m_source.l_linear")}
+    for i in range(len(rates)):
+        params[f"up_{i}"] = convT1d_wn(sd, f"ups.{i}")
+        if f"noise_convs.{i}.weight" in sd:
+            params[f"noise_conv_{i}"] = conv1d(sd, f"noise_convs.{i}")
+        for j in range(len(rk)):
+            rb = f"resblocks.{i * len(rk) + j}"
+            block: Dict[str, Any] = {}
+            for k in range(len(rd[j])):
+                block[f"conv1_{k}"] = conv1d_wn(sd, f"{rb}.convs1.{k}")
+                block[f"conv2_{k}"] = conv1d_wn(sd, f"{rb}.convs2.{k}")
+            params[f"resblock_{i}_{j}"] = block
+    return {"params": params}
+
+
+def load_torch_checkpoint(path: str, child: Optional[str] = "model"):
+    """Read a reference ``model_ckpt_steps_N.ckpt``: returns the flat
+    state_dict of the requested child (utils/trainer.py:421-434 layout)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    if child is not None and child in sd:
+        sd = sd[child]
+    return {k: v for k, v in sd.items()}

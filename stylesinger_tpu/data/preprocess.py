@@ -1,0 +1,78 @@
+"""Raw-corpus preprocessor: text normalization + g2p -> metadata.json.
+
+Parity target: ``BasePreprocessor``
+(``data_gen/tts/base_preprocess.py:34-152`` in AaronZ345/StyleSinger): walk
+raw items (txt, wav_fn, singer, optional MIDI streams), run the language's
+text processor, build the phone set, and write
+``<processed_data_dir>/metadata.json`` + ``phone_set.json`` for the
+binarizer.  Wav processors are a registry of callables
+(``data_gen/tts/wav_processors``), here simple numpy hooks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from stylesinger_tpu.text_processors import get_txt_processor_cls
+
+REGISTERED_WAV_PROCESSORS: Dict[str, Callable] = {}
+
+
+def register_wav_processor(name: str):
+    def wrap(fn):
+        REGISTERED_WAV_PROCESSORS[name] = fn
+        return fn
+    return wrap
+
+
+@register_wav_processor("trim_sil")
+def _trim_sil(wav: np.ndarray, sr: int) -> np.ndarray:
+    from stylesinger_tpu.dsp.vad import trim_long_silences
+    return trim_long_silences(wav, sr)[0]
+
+
+@register_wav_processor("norm_volume")
+def _norm_volume(wav: np.ndarray, sr: int, target_dbfs: float = -30.0
+                 ) -> np.ndarray:
+    rms = np.sqrt((wav ** 2).mean() + 1e-12)
+    gain = 10 ** (target_dbfs / 20) / max(rms, 1e-8)
+    return np.clip(wav * gain, -1.0, 1.0)
+
+
+class Preprocessor:
+    def __init__(self, cfg: Any, language: str = "zh"):
+        self.cfg = cfg
+        self.txt_processor = get_txt_processor_cls(language)
+
+    def process_item(self, item: Dict) -> Optional[Dict]:
+        """One raw item -> processed metadata row (ph list from g2p unless
+        already provided, as in GTSinger-style corpora)."""
+        out = dict(item)
+        if "ph" not in out or not out["ph"]:
+            phs, norm_txt = self.txt_processor.process(out["txt"])
+            out["ph"] = phs
+            out["txt"] = norm_txt
+        elif isinstance(out["ph"], str):
+            out["ph"] = out["ph"].split(" ")
+        return out
+
+    def process(self, items: List[Dict],
+                out_dir: Optional[str] = None) -> List[Dict]:
+        out_dir = out_dir or self.cfg["processed_data_dir"]
+        os.makedirs(out_dir, exist_ok=True)
+        rows = []
+        for item in items:
+            row = self.process_item(item)
+            if row is not None:
+                rows.append(row)
+        phones = sorted({p for r in rows for p in r["ph"]})
+        json.dump(phones, open(os.path.join(out_dir, "phone_set.json"),
+                               "w"), ensure_ascii=False)
+        json.dump(rows, open(os.path.join(out_dir, "metadata.json"), "w"),
+                  ensure_ascii=False)
+        print(f"| preprocess: {len(rows)} items, {len(phones)} phones")
+        return rows

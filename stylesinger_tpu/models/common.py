@@ -78,7 +78,7 @@ class Embedding(nn.Module):
             nn.initializers.normal(stddev=self.features ** -0.5),
             (self.num_embeddings, self.features))
         if self.padding_idx is not None:
-            emb = emb.at[self.padding_idx].set(0.0)
+            emb = jnp.asarray(emb).at[self.padding_idx].set(0.0)
         return emb[ids]
 
 

@@ -365,6 +365,99 @@ def sample_shallow(denoise_fn: Callable, sched: Schedule,
     return x
 
 
+# ---------------------------------------------------------------------------
+# ProDiff (x0-parameterized few-step diffusion, reference modules/diff/
+# prodiff.py:59-233)
+# ---------------------------------------------------------------------------
+
+def vpsde_beta_t(t: int, big_t: int, min_beta: float,
+                 max_beta: float) -> float:
+    t_coef = (2 * t - 1) / (big_t ** 2)
+    return 1.0 - np.exp(-min_beta / big_t -
+                        0.5 * (max_beta - min_beta) * t_coef)
+
+
+def prodiff_betas(timesteps: int, schedule_mode: str = "vpsde",
+                  min_beta: float = 0.1, max_beta: float = 40.0,
+                  s: float = 0.008) -> np.ndarray:
+    """Noise schedules of the ProDiff teacher (prodiff.py:28-47); note the
+    reference instantiates with ``timesteps + 1`` entries."""
+    if schedule_mode == "linear":
+        return np.linspace(1e-6, 0.01, timesteps)
+    if schedule_mode == "cosine":
+        return cosine_beta_schedule(timesteps, s)
+    if schedule_mode == "vpsde":
+        return np.array([vpsde_beta_t(t, timesteps, min_beta, max_beta)
+                         for t in range(1, timesteps + 1)])
+    raise ValueError(schedule_mode)
+
+
+def make_prodiff_schedule(timesteps: int,
+                          schedule_mode: str = "vpsde") -> Schedule:
+    betas = prodiff_betas(timesteps + 1, schedule_mode).astype(np.float64)
+    alphas = 1.0 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.append(1.0, ac[:-1])
+    post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+    log_alpha = np.log(alphas)
+    f32 = lambda x: x.astype(np.float32)  # noqa: E731
+    log_1_min = lambda a: np.log(1 - np.exp(a) + 1e-40)  # noqa: E731
+    return Schedule(
+        betas=f32(betas), alphas_cumprod=f32(ac),
+        alphas_cumprod_prev=f32(ac_prev),
+        sqrt_alphas_cumprod=f32(np.sqrt(ac)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - ac)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / ac)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / ac - 1)),
+        posterior_variance=f32(post_var),
+        posterior_log_variance_clipped=f32(
+            np.log(np.maximum(post_var, 1e-20))),
+        posterior_mean_coef1=f32(betas * np.sqrt(ac_prev) / (1.0 - ac)),
+        posterior_mean_coef2=f32((1.0 - ac_prev) * np.sqrt(alphas)
+                                 / (1.0 - ac)),
+        log_alpha=f32(log_alpha),
+        log_1_min_alpha=f32(log_1_min(log_alpha)),
+        log_cumprod_alpha=f32(np.cumsum(log_alpha)),
+        log_1_min_cumprod_alpha=f32(log_1_min(np.cumsum(log_alpha))),
+    )
+
+
+def prodiff_train(denoise_fn: Callable, sched: Schedule, timesteps: int,
+                  x_start: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """One training pass: diffuse GT mel to a random t and predict x0
+    directly (prodiff.py:194-214). Returns x0_pred [B, T, M]; the mel
+    reconstruction loss is applied by the caller."""
+    b = x_start.shape[0]
+    rng_t, rng_noise = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (b,), 0, timesteps + 1)
+    noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
+    x_t = gaussian_q_sample(sched, x_start, t, noise)
+    return denoise_fn(x_t, t)
+
+
+def sample_prodiff(denoise_fn: Callable, sched: Schedule, timesteps: int,
+                   shape: Tuple[int, ...], rng: jax.Array) -> jnp.ndarray:
+    """Few-step reverse sampling from pure noise with x0 parameterization
+    (prodiff.py:216-224)."""
+    rng, rng0 = jax.random.split(rng)
+    x = jax.random.normal(rng0, shape)
+
+    def step(x, inp):
+        t_scalar, rng_i = inp
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        x0_pred = denoise_fn(x, t)
+        mean, log_var = q_posterior(sched, x0_pred, x, t)
+        noise = jax.random.normal(rng_i, x.shape, x.dtype)
+        nonzero = (t > 0).astype(x.dtype).reshape(
+            (-1,) + (1,) * (x.ndim - 1))
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise, None
+
+    ts = jnp.arange(timesteps - 1, -1, -1)
+    rngs = jax.random.split(rng, timesteps)
+    x, _ = jax.lax.scan(step, x, (ts, rngs))
+    return x
+
+
 def norm_spec(x: jnp.ndarray, spec_min: jnp.ndarray,
               spec_max: jnp.ndarray) -> jnp.ndarray:
     return (x - spec_min) / (spec_max - spec_min) * 2 - 1

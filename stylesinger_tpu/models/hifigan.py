@@ -180,7 +180,11 @@ class HifiGanGenerator(nn.Module):
         for i, (u, k) in enumerate(zip(rates, kernels)):
             c_cur = ch0 // (2 ** (i + 1))
             x = _lrelu(x)
-            pad = (k - u) // 2
+            # torch ConvTranspose1d(k, stride=u, padding=(k-u)//2) ==
+            # lax.conv_transpose with input padding k-1-(k-u)//2 and a
+            # flipped ([k, out, in]) kernel — verified numerically against
+            # the reference generator (tests/test_convert.py)
+            pad = k - 1 - (k - u) // 2
             x = nn.ConvTranspose(
                 c_cur, (k,), strides=(u,), padding=((pad, pad),),
                 transpose_kernel=True, kernel_init=_conv_init,
@@ -209,7 +213,9 @@ class HifiGanGenerator(nn.Module):
                                  name=f"resblock_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / len(rk)
-        x = _lrelu(x)
+        # final activation uses torch's default slope 0.01, not 0.1
+        # (reference hifigan_nsf.py:165 F.leaky_relu without slope arg)
+        x = jax.nn.leaky_relu(x, 0.01)
         x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=_conv_init,
                     name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

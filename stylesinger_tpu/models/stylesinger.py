@@ -157,12 +157,15 @@ class StyleSinger(nn.Module):
                 residual_layers=c["residual_layers"],
                 residual_channels=c["residual_channels"],
                 dilation_cycle_length=c["dilation_cycle_length"])
+        if c["decoder"] == "diffsinger":
             self.mel_sched = diff.make_schedule(
                 c["timesteps"], c["max_beta"], c["schedule_type"])
-        if c["decoder"] == "diffsinger":
             self.ln_proj = nn.Dense(
                 c["hidden_size"],
                 kernel_init=nn.initializers.xavier_uniform())
+        elif c["decoder"] == "prodiff":
+            self.mel_sched = diff.make_prodiff_schedule(
+                c["timesteps"], c.get("prodiff_schedule", "vpsde"))
         self.spec_min = np.asarray(c["spec_min"], np.float32)[: c["keep_bins"]]
         self.spec_max = np.asarray(c["spec_max"], np.float32)[: c["keep_bins"]]
 
@@ -172,9 +175,12 @@ class StyleSinger(nn.Module):
                   deterministic: bool):
         """RSA: style extraction + content-style alignment
         (reference stylesinger.py:189-214)."""
-        rng = self.make_rng("rq") if (train and use_rq) else None
+        # EMA codebook updates only in stochastic training mode (the
+        # reference gates on self.training)
+        ema = train and not deterministic
+        rng = self.make_rng("rq") if (ema and use_rq) else None
         style, rq_loss, codes = self.style_extractor(
-            ref_mels, ref_f0, use_rq=use_rq, train=train, rng=rng,
+            ref_mels, ref_f0, use_rq=use_rq, train=ema, rng=rng,
             deterministic=deterministic)
         if rq_loss is not None:
             ret["rq_loss"] = rq_loss
@@ -368,9 +374,11 @@ class StyleSinger(nn.Module):
         tgt_nonpadding = (mel2ph > 0).astype(jnp.float32)
         decoder_inp = expand_states(encoder_out, mel2ph)
 
-        # UMLN
+        # UMLN (active only in stochastic training mode, like the
+        # reference's self.training gate)
         if c["umln"]:
-            decoder_inp = self.norm(decoder_inp, spk + emo, train=train)
+            decoder_inp = self.norm(decoder_inp, spk + emo,
+                                    train=train and not deterministic)
 
         # style
         style = 0.0
@@ -403,8 +411,34 @@ class StyleSinger(nn.Module):
         if skip_decoder:
             return ret
 
+        if c["decoder"] == "prodiff":
+            self.run_prodiff(decoder_inp, ref_mels, ret, tgt_nonpadding,
+                             infer=infer)
+            return ret
         ret["mel_out"] = self.run_decoder(decoder_inp, tgt_nonpadding,
                                           deterministic)
         if c["decoder"] == "diffsinger" and use_diff:
             self.run_diffsinger(ref_mels, ret, tgt_nonpadding, infer=infer)
         return ret
+
+    def run_prodiff(self, decoder_inp, ref_mels, ret, tgt_nonpadding, *,
+                    infer: bool):
+        """x0-parameterized few-step diffusion decoder (reference
+        modules/diff/prodiff.py:194-224; wired at stylesinger.py:178-179).
+        Replaces the FFT decoder entirely; cond is ``decoder_inp``."""
+        c = self.cfg
+
+        def denoise_fn(x_t, t):
+            return self.postdiff(x_t, t, decoder_inp)
+
+        rng = self.make_rng("diffusion")
+        if infer:
+            shape = (decoder_inp.shape[0], decoder_inp.shape[1],
+                     c["audio_num_mel_bins"])
+            x = diff.sample_prodiff(denoise_fn, self.mel_sched,
+                                    c["timesteps"], shape, rng)
+            ret["mel_out"] = x * tgt_nonpadding[..., None]
+        else:
+            x0_pred = diff.prodiff_train(denoise_fn, self.mel_sched,
+                                         c["timesteps"], ref_mels, rng)
+            ret["mel_out"] = x0_pred * tgt_nonpadding[..., None]

@@ -80,6 +80,12 @@ class Trainer:
         c = self.cfg
         max_updates = max_updates or c["max_updates"]
 
+        # debug-mode sanitizers (reference has only a NaN-grad watchdog,
+        # utils/trainer.py:317-324; jax gives us trap-on-NaN compilation)
+        if c.get("debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+        profile_at = c.get("profile_step", -1)
+
         it = iter(train_batches)
         if example_batch is None:
             example_batch = next(it)
@@ -97,7 +103,14 @@ class Trainer:
                 batch = next(it)
             batch = shard_batch(self._numeric(batch), self.mesh)
             phase = phase_for_step(step, c)
+            if step == profile_at:  # one traced window for xprof
+                jax.profiler.start_trace(
+                    os.path.join(self.work_dir, "profile"))
             state, m = self.train_step(state, batch, self.rng, phase)
+            if profile_at >= 0 and \
+                    step == profile_at + c.get("profile_n_steps", 5):
+                jax.block_until_ready(m)
+                jax.profiler.stop_trace()
             step += 1
 
             for k, v in m.items():

@@ -170,3 +170,51 @@ def test_plot_figures():
     img2 = figure_to_image(f0_to_figure(np.ones(10) * 200,
                                         f0_pred=np.ones(10) * 210))
     assert img2.ndim == 3
+
+
+# ------------------------------------------------------------------- eval
+
+def test_eer():
+    from stylesinger_tpu.eval import compute_eer
+    rng = np.random.default_rng(0)
+    same = rng.normal(0.8, 0.1, 200)
+    diff = rng.normal(0.2, 0.1, 200)
+    scores = np.concatenate([same, diff])
+    labels = np.concatenate([np.ones(200), np.zeros(200)])
+    eer, thr = compute_eer(scores, labels)
+    assert eer < 0.05
+    assert 0.2 < thr < 0.8
+    # random scores -> ~50%
+    eer2, _ = compute_eer(rng.random(400), labels)
+    assert 0.3 < eer2 < 0.7
+
+
+def test_ffe_mcd():
+    from stylesinger_tpu.eval import ffe, mcd
+    f0 = np.array([0, 100, 200, 300, 0], float)
+    assert ffe(f0, f0) == 0.0
+    pred = f0.copy(); pred[1] = 150  # 50% dev
+    assert abs(ffe(f0, pred) - 0.2) < 1e-6
+    mel = np.random.default_rng(0).standard_normal((10, 80))
+    assert mcd(mel, mel) == 0.0
+    assert mcd(mel, mel + 0.1) > 0
+
+
+# ------------------------------------------------------------ preprocess
+
+def test_preprocessor(tmp_path, tiny_cfg):
+    from stylesinger_tpu.data.preprocess import Preprocessor
+    cfg = dict(tiny_cfg)
+    cfg["processed_data_dir"] = str(tmp_path)
+    pre = Preprocessor(cfg, language="zh")
+    rows = pre.process([
+        {"item_name": "a", "txt": "xiao jiu", "wav_fn": "a.wav",
+         "singer": "s"},
+        {"item_name": "b", "ph": "x iao AP", "txt": "-", "wav_fn": "b.wav",
+         "singer": "s"},
+    ])
+    assert rows[0]["ph"] == ["x", "iao", "j", "iu"]
+    assert rows[1]["ph"] == ["x", "iao", "AP"]
+    import json, os
+    phones = json.load(open(os.path.join(tmp_path, "phone_set.json")))
+    assert "iao" in phones and "AP" in phones

@@ -1,0 +1,341 @@
+"""Numerical parity: reference torch modules vs flax twins via convert.py.
+
+Each test instantiates the *actual* reference module (random torch init),
+converts its state_dict with stylesinger_tpu.convert, loads the flax twin,
+and compares outputs on identical inputs (float32, eval mode).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ref_compat import TINY_HPARAMS, setup_reference  # noqa: E402
+
+import stylesinger_tpu.convert as cv  # noqa: E402
+
+ATOL = 2e-4
+RTOL = 2e-3
+
+
+@pytest.fixture(scope="module")
+def hp():
+    hparams = setup_reference()
+    hparams.clear()
+    hparams.update(TINY_HPARAMS)
+    torch.manual_seed(0)
+    return hparams
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def _close(a, b, atol=ATOL, rtol=RTOL):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol,
+                               rtol=rtol)
+
+
+# ---------------------------------------------------------------- FFTBlocks
+
+def test_fft_blocks_parity(hp, rng):
+    from modules.fastspeech.tts_modules import FFTBlocks as RefFFT
+
+    from stylesinger_tpu.models.common import FFTBlocks
+
+    ref = RefFFT(32, 2, ffn_kernel_size=3, num_heads=2).eval()
+    x = rng.standard_normal((2, 12, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(_t(x)).numpy()
+
+    params = cv.convert_fft_blocks(ref.state_dict(), "", 2,
+                                   use_pos_embed=True)
+    m = FFTBlocks(32, 2, kernel_size=3, num_heads=2, dropout=0.0)
+    nonpadding = jnp.ones((2, 12))
+    out = m.apply({"params": params}, jnp.asarray(x), nonpadding)
+    _close(out, out_ref)
+
+
+def test_fastspeech_encoder_parity(hp, rng):
+    from modules.fastspeech.tts_modules import FastspeechEncoder as RefEnc
+
+    from stylesinger_tpu.models.common import Embedding as JEmb
+    from stylesinger_tpu.models.common import FastspeechEncoder
+
+    emb = torch.nn.Embedding(20, 32, padding_idx=0)
+    ref = RefEnc(emb, hidden_size=32, num_layers=1, kernel_size=3,
+                 num_heads=2).eval()
+    tokens = np.array([[3, 5, 2, 7, 0, 0], [1, 2, 3, 4, 5, 6]])
+    with torch.no_grad():
+        out_ref = ref(_t(tokens)).numpy()
+
+    sd = dict(ref.state_dict())
+    params = cv.convert_fastspeech_encoder(sd, "", 1)
+    m = FastspeechEncoder(20, 32, 1, 3, num_heads=2, dropout=0.0)
+    out = m.apply({"params": params}, jnp.asarray(tokens))
+    mask = (tokens > 0)[..., None]
+    _close(out * mask, out_ref * mask)
+
+
+# --------------------------------------------------------------- predictors
+
+def test_duration_predictor_parity(hp, rng):
+    from modules.fastspeech.tts_modules import DurationPredictor as RefDP
+
+    from stylesinger_tpu.models.common import DurationPredictor
+
+    ref = RefDP(32, n_chans=32, n_layers=2, kernel_size=3, padding="SAME",
+                dropout_rate=0.0).eval()
+    x = rng.standard_normal((2, 8, 32)).astype(np.float32)
+    pad = np.zeros((2, 8), bool)
+    pad[0, 6:] = True
+    with torch.no_grad():
+        out_ref = ref(_t(x), _t(pad)).numpy()
+
+    params = cv.convert_duration_predictor(ref.state_dict(), "", 2)
+    m = DurationPredictor(32, n_layers=2, kernel_size=3, dropout=0.0)
+    out = m.apply({"params": params}, jnp.asarray(x),
+                  jnp.asarray(1.0 - pad))
+    _close(out, out_ref)
+
+
+def test_pitch_predictor_parity(hp, rng):
+    from modules.fastspeech.tts_modules import PitchPredictor as RefPP
+
+    from stylesinger_tpu.models.common import PitchPredictor
+
+    ref = RefPP(32, n_chans=32, n_layers=2, odim=2, kernel_size=5,
+                padding="SAME", dropout_rate=0.0).eval()
+    x = rng.standard_normal((2, 10, 32)).astype(np.float32) + 1.0
+    with torch.no_grad():
+        out_ref = ref(_t(x)).numpy()
+
+    params = cv.convert_pitch_predictor(ref.state_dict(), "", 2)
+    m = PitchPredictor(32, odim=2, n_layers=2, kernel_size=5, dropout=0.0)
+    out = m.apply({"params": params}, jnp.asarray(x), jnp.ones((2, 10)))
+    _close(out, out_ref)
+
+
+# ------------------------------------------------------------------- style
+
+def test_wn_parity(hp, rng):
+    from modules.StyleSinger.wavenet import WN as RefWN
+
+    from stylesinger_tpu.models.common import WN
+
+    ref = RefWN(hidden_channels=16, kernel_size=3, dilation_rate=1,
+                n_layers=4).eval()
+    x = rng.standard_normal((2, 16, 20)).astype(np.float32)  # [B, C, T]
+    with torch.no_grad():
+        out_ref = ref(_t(x), x_mask=torch.ones(2, 1, 20)).numpy()
+
+    params = cv.convert_wn(ref.state_dict(), "", n_layers=4)
+    m = WN(hidden_channels=16, kernel_size=3, dilation_rate=1, n_layers=4)
+    out = m.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 1)),
+                  jnp.ones((2, 20)))
+    _close(np.asarray(out).transpose(0, 2, 1), out_ref, atol=5e-4)
+
+
+def test_conv_blocks_parity(hp, rng):
+    from modules.StyleSinger.lse import ConvBlocks as RefCB
+
+    from stylesinger_tpu.models.common import ConvBlocks
+
+    ref = RefCB(16, 32, [1] * 3, 5, norm_type="ln", dropout=0.0).eval()
+    x = rng.standard_normal((2, 14, 16)).astype(np.float32) + 0.5
+    with torch.no_grad():
+        out_ref = ref(_t(x)).numpy()
+
+    params = cv.convert_conv_blocks(ref.state_dict(), "", n_dilations=3)
+    m = ConvBlocks(16, 32, dilations=(1, 1, 1), kernel_size=5)
+    out = m.apply({"params": params}, jnp.asarray(x), jnp.ones((2, 14)))
+    _close(out, out_ref, atol=5e-4)
+
+
+def test_prosody_aligner_parity(hp, rng):
+    from modules.StyleSinger.lse import ProsodyAligner as RefPA
+
+    from stylesinger_tpu.models.style import ProsodyAligner
+
+    ref = RefPA(num_layers=2).eval()
+    tq, tk, h = 6, 9, 32
+    src = rng.standard_normal((2, tq, h)).astype(np.float32)
+    sty = rng.standard_normal((2, tk, h)).astype(np.float32)
+    src_pad = np.zeros((2, tq), bool)
+    sty_pad = np.zeros((2, tk), bool)
+    with torch.no_grad():
+        out_ref, gloss_ref, _ = ref(
+            _t(src).transpose(0, 1), _t(sty).transpose(0, 1),
+            _t(src_pad), _t(sty_pad), forcing=False)
+        out_ref = out_ref.transpose(0, 1).numpy()
+
+    params = cv.convert_prosody_aligner(ref.state_dict(), "", 2)
+    m = ProsodyAligner(h, num_layers=2, num_heads=2, ffn_dim=2048,
+                       dropout=0.0)
+    out, gloss, _ = m.apply({"params": params}, jnp.asarray(src),
+                            jnp.asarray(sty), jnp.ones((2, tq)),
+                            jnp.ones((2, tk)))
+    _close(out, out_ref, atol=5e-4)
+    _close(gloss, float(gloss_ref), atol=1e-3, rtol=1e-2)
+
+
+def test_umln_affine_shapes(hp):
+    from modules.StyleSinger.umln import DistributionUncertainty
+
+    ref = DistributionUncertainty(hidden_size=32)
+    params = cv.convert_umln(ref.state_dict(), "")
+    assert params["affine"]["kernel"].shape == (32, 64)
+
+
+# --------------------------------------------------------------- denoisers
+
+def test_ddiffnet_parity(hp, rng):
+    from modules.diff.net import DDiffNet as RefDDN
+
+    from stylesinger_tpu.models.diffnet import DDiffNet
+
+    ref = RefDDN(in_dims=1, num_classes=2).eval()
+    b, t, h = 2, 12, 32
+    f0 = rng.standard_normal((b, 1, t)).astype(np.float32)
+    uv = rng.integers(0, 2, (b, t))
+    step = np.array([1, 3])
+    cond = rng.standard_normal((b, h, t)).astype(np.float32)
+    nonpadding = np.ones((b, t), np.float32)
+    with torch.no_grad():
+        out_ref = ref(_t(f0), _t(uv), _t(step), _t(cond),
+                      _t(nonpadding)).numpy()  # [B, 3, T]
+
+    params = cv.convert_ddiffnet(ref.state_dict(), "", n_layers=2)
+    m = DDiffNet(in_dims=1, num_classes=2, residual_layers=2,
+                 residual_channels=16, dilation_cycle_length=4)
+    out = m.apply({"params": params}, jnp.asarray(f0.transpose(0, 2, 1)),
+                  jnp.asarray(uv), jnp.asarray(step),
+                  jnp.asarray(cond.transpose(0, 2, 1)),
+                  jnp.asarray(nonpadding))
+    _close(np.asarray(out).transpose(0, 2, 1), out_ref, atol=5e-4)
+
+
+def test_diffnet_parity(hp, rng):
+    from modules.diff.net import DiffNet as RefDN
+
+    from stylesinger_tpu.models.diffnet import DiffNet
+
+    ref = RefDN(in_dims=16).eval()
+    b, t, h = 2, 10, 32
+    spec = rng.standard_normal((b, 1, 16, t)).astype(np.float32)
+    step = np.array([0, 2])
+    cond = rng.standard_normal((b, h, t)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(_t(spec), _t(step), _t(cond)).numpy()  # [B,1,16,T]
+
+    params = cv.convert_diffnet(ref.state_dict(), "", n_layers=2)
+    m = DiffNet(in_dims=16, residual_layers=2, residual_channels=16,
+                dilation_cycle_length=4)
+    out = m.apply({"params": params},
+                  jnp.asarray(spec[:, 0].transpose(0, 2, 1)),
+                  jnp.asarray(step), jnp.asarray(cond.transpose(0, 2, 1)))
+    _close(np.asarray(out).transpose(0, 2, 1), out_ref[:, 0], atol=5e-4)
+
+
+# ----------------------------------------------------------------- hifigan
+
+def test_hifigan_parity_no_nsf(hp, rng):
+    from modules.hifigan.hifigan_nsf import HifiGanGenerator as RefGen
+
+    from stylesinger_tpu.models.hifigan import HifiGanGenerator
+
+    h = dict(TINY_HPARAMS)
+    h.update(use_pitch_embed=False, audio_sample_rate=24000,
+             upsample_rates=[4, 4], upsample_kernel_sizes=[8, 8],
+             upsample_initial_channel=16, resblock="1",
+             resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3, 5]])
+    ref = RefGen(h).eval()
+    ref.remove_weight_norm()
+    mel = rng.standard_normal((1, 16, 12)).astype(np.float32)  # [B, 80->16?, T]
+    # conv_pre expects 80 input channels in the reference; rebuild input dim
+    with torch.no_grad():
+        out_ref = ref(_t(np.pad(mel, ((0, 0), (0, 64), (0, 0))))).numpy()
+
+    cfg = dict(h)
+    cfg["use_nsf"] = False
+    params = cv.convert_hifigan(ref.state_dict(), cfg)["params"]
+    m = HifiGanGenerator(cfg)
+    x = np.pad(mel, ((0, 0), (0, 64), (0, 0))).transpose(0, 2, 1)
+    out = m.apply({"params": params}, jnp.asarray(x), None)
+    _close(out, out_ref[:, 0], atol=2e-3, rtol=5e-3)
+
+
+# --------------------------------------------------------- full model
+
+def test_full_stylesinger_parity(hp, rng):
+    """End-to-end: reference torch StyleSinger (random init) -> convert ->
+    flax StyleSinger; compare coarse mel / dur / f0_denorm on the training
+    path (eval mode, ground-truth f0/uv, curriculum: rq on, soft attn,
+    diffusion post-net off)."""
+    from modules.StyleSinger.stylesinger import StyleSinger as RefSS
+
+    from ref_compat import tiny_cfg_like_hparams
+    from stylesinger_tpu.models.stylesinger import StyleSinger
+
+    class FakeDict:
+        def pad(self):
+            return 0
+
+        def __len__(self):
+            return 20
+
+    # the reference LocalStyleAdaptor hard-codes 80 mel channels (lse.py)
+    hp.update(audio_num_mel_bins=80, keep_bins=80, spec_min=[-6.0] * 80,
+              spec_max=[0.0] * 80)
+    torch.manual_seed(1)
+    ref = RefSS(FakeDict()).eval()
+
+    b, tt, tm = 2, 6, 24
+    tokens = rng.integers(1, 20, (b, tt))
+    mel2ph = np.minimum(np.arange(tm)[None].repeat(b, 0) // 4 + 1, tt)
+    # snap f0 to coarse-bin centers so the int quantization (pitch_embed
+    # lookup) can't flip bins between float32 implementations
+    bins = rng.integers(60, 240, (b, tm))
+    mel_min = 1127 * np.log(1 + 50 / 700)
+    mel_max = 1127 * np.log(1 + 1100 / 700)
+    f0_mel = (bins - 1) * (mel_max - mel_min) / 254 + mel_min
+    f0_hz = 700 * (np.exp(f0_mel / 1127) - 1)
+    f0 = np.log2(f0_hz).astype(np.float32)
+    uv = np.zeros((b, tm), np.float32)
+    spk = rng.standard_normal((b, 256)).astype(np.float32)
+    emo = rng.standard_normal((b, 16)).astype(np.float32)  # emo_size=16
+    mels = (rng.standard_normal((b, tm, 80)).astype(np.float32) * 0.5 + 1.0)
+    note = rng.integers(40, 80, (b, tt))
+    note_dur = rng.uniform(0.1, 0.5, (b, tt)).astype(np.float32)
+    note_type = np.ones((b, tt), np.int64)
+
+    with torch.no_grad():
+        out_ref = ref(
+            _t(tokens), mel2ph=_t(mel2ph), spk_embed=_t(spk),
+            emo_embed=_t(emo), ref_mels=_t(mels), ref_f0=_t(f0),
+            f0=_t(f0), uv=_t(uv), note=_t(note), note_dur=_t(note_dur),
+            note_type=_t(note_type), infer=False, global_steps=50000)
+
+    cfg = tiny_cfg_like_hparams()
+    cfg.update(audio_num_mel_bins=80, keep_bins=80, spec_min=[-6.0] * 80,
+               spec_max=[0.0] * 80)
+    variables = cv.convert_stylesinger(ref.state_dict(), cfg)
+    m = StyleSinger(cfg, 20)
+    ret, _ = m.apply(
+        variables, jnp.asarray(tokens), jnp.asarray(mel2ph),
+        jnp.asarray(spk), jnp.asarray(emo), jnp.asarray(mels),
+        jnp.asarray(f0), jnp.asarray(f0), jnp.asarray(uv),
+        jnp.asarray(note), jnp.asarray(note_dur), jnp.asarray(note_type),
+        infer=False, use_rq=True, forcing=False, use_diff=False,
+        deterministic=True,
+        rngs={"diffusion": jax.random.PRNGKey(0),
+              "rq": jax.random.PRNGKey(1)},
+        mutable=["codebook"])
+
+    _close(ret["dur"], out_ref["dur"].numpy(), atol=1e-3, rtol=1e-2)
+    _close(ret["f0_denorm"], out_ref["f0_denorm"].numpy(), atol=1e-2,
+           rtol=1e-3)
+    _close(ret["mel_out"], out_ref["mel_out"].numpy(), atol=2e-3, rtol=1e-2)

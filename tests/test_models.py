@@ -245,3 +245,29 @@ def test_length_regulator_static():
     pad = jnp.zeros((1, 3))
     m = np.asarray(length_regulator(dur, pad, 10))
     np.testing.assert_array_equal(m[0], [1, 1, 2, 2, 2, 3, 0, 0, 0, 0])
+
+
+def test_stylesinger_prodiff_decoder(tiny_cfg):
+    cfg = dict(tiny_cfg)
+    cfg.update(decoder="prodiff", max_frames=48)
+    m = StyleSinger(cfg, VOCAB)
+    b = _batch(tiny_cfg)
+    variables = m.init(
+        ALL_RNGS, b["txt_tokens"], b["mel2ph"], b["spk_embed"],
+        b["emo_embed"], b["mels"], b["f0"], b["f0"], b["uv"],
+        b["note"], b["note_dur"], b["note_type"], infer=False)
+    ret, _ = m.apply(
+        variables, b["txt_tokens"], b["mel2ph"], b["spk_embed"],
+        b["emo_embed"], b["mels"], b["f0"], b["f0"], b["uv"],
+        b["note"], b["note_dur"], b["note_type"], infer=False,
+        rngs={k: jax.random.PRNGKey(i) for i, k in enumerate(
+            ["dropout", "umln", "rq", "diffusion"])},
+        mutable=["codebook"])
+    assert ret["mel_out"].shape == (2, 32, cfg["audio_num_mel_bins"])
+    ret_i = m.apply(
+        variables, b["txt_tokens"], None, b["spk_embed"], b["emo_embed"],
+        b["ref_mels"], b["ref_f0"], None, None,
+        b["note"], b["note_dur"], b["note_type"],
+        infer=True, max_frames=48, rngs={"diffusion": KEY, "rq": KEY})
+    assert ret_i["mel_out"].shape == (2, 48, cfg["audio_num_mel_bins"])
+    assert np.isfinite(np.asarray(ret_i["mel_out"])).all()

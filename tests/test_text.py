@@ -40,3 +40,40 @@ def test_sil_phonemes():
     enc = TokenTextEncoder.build(["a", "|", "<SIL>"])
     sils = enc.sil_phonemes()
     assert "|" in sils and "<SIL>" in sils and "a" not in sils
+
+
+# ------------------------------------------------------------ processors
+
+def test_split_pinyin():
+    from stylesinger_tpu.text_processors import split_pinyin
+    assert split_pinyin("xiao") == ["x", "iao"]
+    assert split_pinyin("zhang") == ["zh", "ang"]
+    assert split_pinyin("ang") == ["ang"]
+    assert split_pinyin("hao3") == ["h", "ao3"]
+    assert split_pinyin("er") == ["er"]
+
+
+def test_num_to_hanzi():
+    from stylesinger_tpu.text_processors import num_to_hanzi
+    assert num_to_hanzi("0") == "零"
+    assert num_to_hanzi("15") == "十五"
+    assert num_to_hanzi("230") == "二百三十"
+    assert num_to_hanzi("1005") == "一千零五"
+    assert num_to_hanzi("20000") == "二万"
+
+
+def test_zh_processor():
+    from stylesinger_tpu.text_processors import get_txt_processor_cls
+    phs, norm = get_txt_processor_cls("zh").process("x iao AP j iu")
+    assert phs == ["x", "iao", "AP", "j", "iu"]
+    phs, norm = get_txt_processor_cls("zh").process("xiao jiu wo")
+    assert phs == ["x", "iao", "j", "iu", "w", "o"]
+    from stylesinger_tpu.text_processors import normalize_zh
+    assert "百分之一百" in normalize_zh("100%")
+
+
+def test_en_processor():
+    from stylesinger_tpu.text_processors import get_txt_processor_cls
+    phs, norm = get_txt_processor_cls("en").process("hello world")
+    assert len(phs) > 4
+    assert "|" in phs
