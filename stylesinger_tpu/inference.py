@@ -108,13 +108,33 @@ class StyleSingerInfer:
         self.emo_variables = self.emo_encoder.init(self._rng, probe)
 
     def load_params(self, state_or_dir) -> None:
-        """Load acoustic params from a TrainState or a checkpoint dir."""
+        """Load acoustic params from a TrainState, a work dir containing
+        ``ckpt/`` (orbax), or a reference torch ``.ckpt`` file."""
         if isinstance(state_or_dir, str):
+            if state_or_dir.endswith(".ckpt"):
+                from stylesinger_tpu.convert import (
+                    convert_stylesinger, load_torch_checkpoint,
+                )
+                sd = load_torch_checkpoint(state_or_dir)
+                self.variables = convert_stylesinger(sd, self.cfg)
+                return
             from stylesinger_tpu.training.checkpoint import CheckpointManager
             from stylesinger_tpu.training.step import init_state
-            raise NotImplementedError(
-                "restore via training.checkpoint.CheckpointManager, then "
-                "pass the TrainState here")
+            if self.variables is None:
+                self.init_random()
+            mgr = CheckpointManager(state_or_dir,
+                                    keep=self.cfg["num_ckpt_keep"])
+            from stylesinger_tpu.models.stylesinger import StyleSinger  # noqa
+            # build a TrainState-shaped target from current variables
+            from stylesinger_tpu.training.step import TrainState, \
+                make_optimizer
+            state = TrainState.create(self.variables["params"],
+                                      self.variables.get("codebook", {}),
+                                      make_optimizer(self.cfg))
+            state, step = mgr.restore(state)
+            self.variables = {"params": state.params,
+                              "codebook": state.codebook}
+            return
         self.variables = {"params": state_or_dir.params,
                           "codebook": state_or_dir.codebook}
 

@@ -82,12 +82,13 @@ def make_vocoder_steps(cfg: Any):
                          rngs={"noise": rng})
 
     def mel_of(wav):
-        f = functools.partial(
-            mel_spectrogram, sample_rate=sr, n_fft=cfg["fft_size"],
-            hop_size=cfg["hop_size"], win_length=cfg["win_size"],
-            n_mels=cfg["audio_num_mel_bins"], fmin=cfg["fmin"],
-            fmax=cfg["fmax"])
-        return jax.vmap(f)(wav)
+        # the differentiable XLA twin (the Pallas kernel has no VJP; it
+        # serves the inference/data-prep paths)
+        from stylesinger_tpu.dsp.mel import wav2mel
+        return wav2mel(wav, sample_rate=sr, n_fft=cfg["fft_size"],
+                       hop_size=cfg["hop_size"], win_length=cfg["win_size"],
+                       n_mels=cfg["audio_num_mel_bins"], fmin=cfg["fmin"],
+                       fmax=cfg["fmax"])
 
     @jax.jit
     def disc_step(state: VocoderState, batch: Dict, rng: jax.Array

@@ -1,0 +1,91 @@
+"""Checkpoint save/restore roundtrip + test-split synthesis runner."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from stylesinger_tpu.data import StyleSingerDataset, collate_batch
+from stylesinger_tpu.models.stylesinger import StyleSinger
+from stylesinger_tpu.training import init_state
+from stylesinger_tpu.training.checkpoint import CheckpointManager
+from stylesinger_tpu.training.test_runner import TestRunner as SynthRunner
+
+VOCAB = 20
+
+
+def _items(cfg, rng, n=3):
+    items = []
+    for i in range(n):
+        t = int(rng.integers(16, 30))
+        tt = max(2, t // 4)
+        items.append({
+            "item_name": f"i{i}",
+            "mel": rng.standard_normal(
+                (t, cfg["audio_num_mel_bins"])).astype(np.float32) * .5 - 2,
+            "mel2ph": np.repeat(np.arange(1, tt + 1), 4)[:t],
+            "f0": np.abs(rng.standard_normal(t)).astype(np.float32) * 100
+            + 150,
+            "ph_token": rng.integers(1, VOCAB, tt),
+            "ep_pitches": rng.integers(40, 80, tt),
+            "ep_notedurs": rng.uniform(0.1, 0.6, tt).astype(np.float32),
+            "ep_types": np.ones(tt, np.int64),
+            "spk_embed": rng.standard_normal(256).astype(np.float32),
+            "emo_embed": rng.standard_normal(256).astype(np.float32),
+        })
+    return items
+
+
+def _batch(cfg, rng, n=3):
+    ds = StyleSingerDataset(cfg, "train", items=_items(cfg, rng, n))
+    return collate_batch([ds[i] for i in range(n)], cfg["frame_buckets"],
+                         cfg["token_buckets"])
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_cfg, rng):
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _batch(cfg, rng)
+    batch.pop("nsamples")
+    state = init_state(model, cfg, batch)
+
+    mgr = CheckpointManager(str(tmp_path), keep=2, save_best=True)
+    mgr.save(100, state, val_loss=1.5)
+    mgr.save(200, state, val_loss=1.2)
+    assert mgr.latest_step() == 200
+
+    state2 = init_state(model, cfg, batch,
+                        rng=jax.random.PRNGKey(999))  # different init
+    state2, step = mgr.restore(state2)
+    assert step == 200
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(state2.params)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_test_runner_writes_artifacts(tmp_path, tiny_cfg, rng):
+    from stylesinger_tpu.vocoder_infer import HifiGAN_NSF
+
+    cfg = dict(tiny_cfg)
+    cfg.update(max_frames=64, hop_size=64)
+    model = StyleSinger(cfg, VOCAB)
+    batch = _batch(cfg, rng)
+    nb = {k: v for k, v in batch.items() if k != "nsamples"}
+    state = init_state(model, cfg, nb)
+    variables = {"params": state.params, "codebook": state.codebook}
+
+    vocoder = HifiGAN_NSF(cfg)
+    runner = SynthRunner(model, cfg, vocoder, str(tmp_path))
+    gen_dir = runner.run(variables, [batch])
+
+    wavs = os.listdir(os.path.join(gen_dir, "wavs"))
+    assert any(w.endswith(".wav") and "_gt" not in w for w in wavs)
+    assert any(w.endswith("_gt.wav") for w in wavs)
+    assert os.path.exists(os.path.join(gen_dir, "meta.csv"))
+    assert os.path.exists(os.path.join(gen_dir, "result_f0s.npy"))
+    rows = open(os.path.join(gen_dir, "meta.csv")).read().strip().split("\n")
+    assert len(rows) >= 2  # header + >=1 item

@@ -339,3 +339,36 @@ def test_full_stylesinger_parity(hp, rng):
     _close(ret["f0_denorm"], out_ref["f0_denorm"].numpy(), atol=1e-2,
            rtol=1e-3)
     _close(ret["mel_out"], out_ref["mel_out"].numpy(), atol=2e-3, rtol=1e-2)
+
+
+def test_load_torch_checkpoint_file(hp, tmp_path, rng):
+    """Write a reference-layout .ckpt and load it through the converter."""
+    from modules.StyleSinger.stylesinger import StyleSinger as RefSS
+
+    from ref_compat import tiny_cfg_like_hparams
+
+    class FakeDict:
+        def pad(self):
+            return 0
+
+        def __len__(self):
+            return 20
+
+    hp.update(audio_num_mel_bins=80, keep_bins=80, spec_min=[-6.0] * 80,
+              spec_max=[0.0] * 80)
+    torch.manual_seed(2)
+    ref = RefSS(FakeDict()).eval()
+    path = str(tmp_path / "model_ckpt_steps_1000.ckpt")
+    torch.save({"state_dict": {"model": ref.state_dict()},
+                "global_step": 1000}, path)
+
+    import stylesinger_tpu.convert as cvv
+    sd = cvv.load_torch_checkpoint(path)
+    cfg = tiny_cfg_like_hparams()
+    cfg.update(audio_num_mel_bins=80, keep_bins=80, spec_min=[-6.0] * 80,
+               spec_max=[0.0] * 80)
+    variables = cvv.convert_stylesinger(sd, cfg)
+    assert "encoder" in variables["params"]
+    np.testing.assert_array_equal(
+        variables["params"]["mel_out"]["kernel"],
+        ref.state_dict()["mel_out.weight"].numpy().T)

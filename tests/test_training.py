@@ -114,3 +114,36 @@ def test_train_step_on_mesh(tiny_cfg, rng):
     cb1 = np.asarray(jax.tree_util.tree_leaves(state2.codebook)[0])
     assert not np.allclose(param_leaf0, param_leaf1)
     assert not np.allclose(cb0, cb1)
+
+
+def test_vocoder_gan_steps(tiny_cfg, rng):
+    """One generator + one discriminator GAN step (vocoder training)."""
+    from stylesinger_tpu.training.vocoder_task import (
+        crop_batch, init_vocoder_state, make_vocoder_steps,
+    )
+
+    cfg = dict(tiny_cfg)
+    cfg.update(hop_size=64, fft_size=256, win_size=256,
+               audio_num_mel_bins=16, fmax=8000, audio_sample_rate=16000)
+    hop = 64
+    items = []
+    for i in range(2):
+        t = 40
+        items.append({
+            "mel": rng.standard_normal((t, 16)).astype(np.float32),
+            "wav": rng.standard_normal(t * hop).astype(np.float32) * 0.3,
+            "f0": np.full(t, 200.0, np.float32),
+        })
+    batch = crop_batch(items, cfg, rng, crop_frames=16)
+    assert batch["wav"].shape == (2, 16 * hop)
+
+    state = init_vocoder_state(cfg, jax.random.PRNGKey(0),
+                               jnp.asarray(batch["mels"]),
+                               jnp.asarray(batch["f0"]))
+    gen_step, disc_step = make_vocoder_steps(cfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, dm = disc_step(state, jb, jax.random.PRNGKey(1))
+    state, gm = gen_step(state, jb, jax.random.PRNGKey(2))
+    for k, v in {**dm, **gm}.items():
+        assert np.isfinite(float(v)), k
+    assert int(state.step) == 1
