@@ -176,6 +176,7 @@ DEFAULTS: Dict[str, Any] = dict(
     schedule_type="linear",
     diff_loss_type="l1",
     diff_decoder_type="wavenet",
+    pndm_speedup=1,
     residual_layers=20,
     residual_channels=256,
     dilation_cycle_length=4,

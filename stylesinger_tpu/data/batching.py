@@ -106,6 +106,8 @@ def collate_batch(samples: List[Dict], frame_buckets: Sequence[int],
         "note_types": stack("note_types", t_txt, dtype=np.int32),
         "nsamples": np.asarray(len(samples)),
     }
+    if "energy" in samples[0]:
+        batch["energy"] = stack("energy", t_mel)
     if "spk_embed" in samples[0]:
         batch["spk_embed"] = stack("spk_embed", samples[0]["spk_embed"].shape[0])
     if emo and "emo_embed" in samples[0]:

@@ -84,6 +84,11 @@ class StyleSingerDataset:
             "note_durs": np.asarray(item["ep_notedurs"], np.float32)[:mt],
             "note_types": np.asarray(item["ep_types"], np.int64)[:mt],
         }
+        if c.get("use_energy_embed", False):
+            # frame energy from the (log) mel (reference
+            # tasks/tts/dataset_utils.py:146)
+            sample["energy"] = np.sqrt(
+                (np.exp(mel) ** 2).sum(-1)).astype(np.float32)
         if c["use_spk_embed"] and "spk_embed" in item:
             sample["spk_embed"] = np.asarray(item["spk_embed"], np.float32)
         if c["use_spk_id"] and "spk_id" in item:

@@ -152,11 +152,16 @@ def pad_wav_to_frames(wav: np.ndarray, hop_size: int) -> np.ndarray:
 def wav2spec_np(wav: Union[str, np.ndarray], *, sample_rate: int = 48000,
                 n_fft: int = 1024, hop_size: int = 256, win_length: int = 1024,
                 n_mels: int = 80, fmin: float = 20.0, fmax: float = 24000.0,
-                eps: float = 1e-6) -> dict:
-    """Offline wav -> {'wav', 'mel'} mirroring ``librosa_wav2spec`` outputs."""
+                eps: float = 1e-6, loud_norm: bool = False) -> dict:
+    """Offline wav -> {'wav', 'mel'} mirroring ``librosa_wav2spec`` outputs
+    (incl. the optional BS.1770 loudness normalization,
+    utils/audios/__init__.py:44-52)."""
     if isinstance(wav, str):
         wav = load_wav(wav, sample_rate)
     wav = np.asarray(wav, dtype=np.float32)
+    if loud_norm:
+        from stylesinger_tpu.dsp.loudness import normalize_loudness
+        wav = normalize_loudness(wav, sample_rate, target_lufs=-23.0)
 
     pad = n_fft // 2
     padded = np.pad(wav, (pad, pad), mode="constant")

@@ -365,6 +365,72 @@ def sample_shallow(denoise_fn: Callable, sched: Schedule,
     return x
 
 
+def sample_shallow_plms(denoise_fn: Callable, sched: Schedule,
+                        coarse_norm: jnp.ndarray, rng: jax.Array,
+                        K_step: int, speedup: int) -> jnp.ndarray:
+    """PLMS accelerated shallow sampling (reference
+    ``p_sample_plms``, shallow_diffusion_tts.py:165-197; PNDM,
+    arXiv 2202.09778): K/speedup denoiser calls using a 4th-order
+    Adams-Bashforth combination of the last noise predictions.
+
+    The reference keeps a Python-side ``noise_list``; here the last three
+    predictions ride the ``lax.scan`` carry, with the step index selecting
+    the correct lower-order formula at the start of the chain.
+    """
+    b = coarse_norm.shape[0]
+    interval = speedup
+    n_steps = K_step // speedup
+    rng, rng_q = jax.random.split(rng)
+    t0 = jnp.full((b,), K_step - 1, dtype=jnp.int32)
+    noise0 = jax.random.normal(rng_q, coarse_norm.shape, coarse_norm.dtype)
+    x = gaussian_q_sample(sched, coarse_norm, t0, noise0)
+    ac = jnp.asarray(sched.alphas_cumprod)
+
+    def get_x_pred(x, noise_t, t):
+        a_t = _extract(ac, t, x.ndim)
+        a_prev = _extract(ac, jnp.maximum(t - interval, 0), x.ndim)
+        sq_t, sq_prev = jnp.sqrt(a_t), jnp.sqrt(a_prev)
+        x_delta = (a_prev - a_t) * (
+            (1.0 / (sq_t * (sq_t + sq_prev))) * x -
+            1.0 / (sq_t * (jnp.sqrt((1 - a_prev) * a_t) +
+                           jnp.sqrt((1 - a_t) * a_prev))) * noise_t)
+        return x + x_delta
+
+    zeros = jnp.zeros_like(x)
+
+    def step(carry, inp):
+        x, n1, n2, n3 = carry           # last three noise preds (newest n1)
+        t_scalar, idx = inp
+        t = jnp.full((b,), t_scalar, dtype=jnp.int32)
+        noise_pred = denoise_fn(x, t)
+
+        def order1(_):
+            x_pred = get_x_pred(x, noise_pred, t)
+            noise_prev = denoise_fn(
+                x_pred, jnp.maximum(t - interval, 0))
+            return (noise_pred + noise_prev) / 2
+
+        def order2(_):
+            return (3 * noise_pred - n1) / 2
+
+        def order3(_):
+            return (23 * noise_pred - 16 * n1 + 5 * n2) / 12
+
+        def order4(_):
+            return (55 * noise_pred - 59 * n1 + 37 * n2 - 9 * n3) / 24
+
+        prime = jax.lax.switch(jnp.minimum(idx, 3),
+                               [order1, order2, order3, order4], None)
+        x_prev = get_x_pred(x, prime, t)
+        return (x_prev, noise_pred, n1, n2), None
+
+    ts = jnp.arange(K_step - interval, -1, -interval)
+    idxs = jnp.arange(len(ts))
+    (x, _, _, _), _ = jax.lax.scan(step, (x, zeros, zeros, zeros),
+                                   (ts, idxs))
+    return x
+
+
 # ---------------------------------------------------------------------------
 # ProDiff (x0-parameterized few-step diffusion, reference modules/diff/
 # prodiff.py:59-233)

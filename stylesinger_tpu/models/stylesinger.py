@@ -312,8 +312,14 @@ class StyleSinger(nn.Module):
         rng = self.make_rng("diffusion")
         if infer:
             coarse_norm = diff.norm_spec(coarse, self.spec_min, self.spec_max)
-            x = diff.sample_shallow(denoise_fn, self.mel_sched, coarse_norm,
-                                    rng, c["K_step"])
+            speedup = int(c.get("pndm_speedup", 1) or 1)
+            if speedup > 1:
+                x = diff.sample_shallow_plms(denoise_fn, self.mel_sched,
+                                             coarse_norm, rng, c["K_step"],
+                                             speedup)
+            else:
+                x = diff.sample_shallow(denoise_fn, self.mel_sched,
+                                        coarse_norm, rng, c["K_step"])
             mel = diff.denorm_spec(x, self.spec_min, self.spec_max)
             ret["mel_out"] = mel * tgt_nonpadding[..., None]
         else:

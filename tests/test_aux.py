@@ -218,3 +218,76 @@ def test_preprocessor(tmp_path, tiny_cfg):
     import json, os
     phones = json.load(open(os.path.join(tmp_path, "phone_set.json")))
     assert "iao" in phones and "AP" in phones
+
+
+# --------------------------------------------------------------- textgrid
+
+_TG = """File type = "ooTextFile"
+Object class = "TextGrid"
+xmin = 0
+xmax = 1.0
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 1
+        intervals [1]:
+            xmin = 0
+            xmax = 1.0
+            text = "word"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 1.0
+        intervals: size = 4
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.1
+            text = ""
+        intervals [2]:
+            xmin = 0.1
+            xmax = 0.5
+            text = "a"
+        intervals [3]:
+            xmin = 0.5
+            xmax = 0.9
+            text = "b"
+        intervals [4]:
+            xmin = 0.9
+            xmax = 1.0
+            text = ""
+"""
+
+
+def test_textgrid_mel2ph():
+    from stylesinger_tpu.dsp.textgrid_align import (
+        get_mel2ph_from_textgrid, parse_textgrid,
+    )
+    tiers = parse_textgrid(_TG)
+    assert len(tiers) == 2 and len(tiers[1]) == 4
+    sr, hop = 16000, 160  # 100 frames/sec
+    mel2ph, dur = get_mel2ph_from_textgrid(
+        _TG, "<SIL> a b <SIL>", 100, hop, sr)
+    # 'a' spans 0.1-0.5s -> ~40 frames of index 2 (1-based after <SIL>)
+    assert (mel2ph == 2).sum() in range(38, 43)
+    assert (mel2ph == 3).sum() in range(38, 43)
+    assert dur.sum() == 100
+
+
+def test_loudness_norm():
+    from stylesinger_tpu.dsp.loudness import (
+        integrated_loudness, normalize_loudness,
+    )
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    wav = (0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    l1 = integrated_loudness(wav, sr)
+    assert -60 < l1 < -10
+    out = normalize_loudness(wav, sr, target_lufs=-23.0)
+    l2 = integrated_loudness(out, sr)
+    assert abs(l2 - (-23.0)) < 1.0

@@ -271,3 +271,25 @@ def test_stylesinger_prodiff_decoder(tiny_cfg):
         infer=True, max_frames=48, rngs={"diffusion": KEY, "rq": KEY})
     assert ret_i["mel_out"].shape == (2, 48, cfg["audio_num_mel_bins"])
     assert np.isfinite(np.asarray(ret_i["mel_out"])).all()
+
+
+def test_plms_sampler_matches_full_roughly(tiny_cfg):
+    """PLMS with speedup=2 should land near the full sampler's output
+    distribution (same conditioning, shared coarse input)."""
+    from stylesinger_tpu.models import diffusion as diff
+
+    sched = diff.make_schedule(8, 0.06, "linear")
+    coarse = jax.random.normal(KEY, (1, 16, 8)) * 0.2
+
+    def denoise_fn(x, t):
+        return 0.1 * x  # a fixed pseudo-denoiser
+
+    full = diff.sample_shallow(denoise_fn, sched, coarse,
+                               jax.random.PRNGKey(0), 8)
+    fast = diff.sample_shallow_plms(denoise_fn, sched, coarse,
+                                    jax.random.PRNGKey(0), 8, 2)
+    assert fast.shape == full.shape
+    assert np.isfinite(np.asarray(fast)).all()
+    # same order of magnitude (deterministic PLMS vs stochastic ancestral)
+    assert np.abs(np.asarray(fast)).mean() < \
+        5 * np.abs(np.asarray(full)).mean() + 1.0
