@@ -185,7 +185,11 @@ class StyleSingingBinarizer:
             total_sec += item["sec"]
             builder.add_item(item)
             if tsd is not None:
-                tsd.add_item({k: v for k, v in item.items()
+                from stylesinger_tpu.data.tsd_dataset import (
+                    precompute_item_fields,
+                )
+                fast = precompute_item_fields(item, c)
+                tsd.add_item({k: v for k, v in fast.items()
                               if isinstance(v, (np.ndarray, list, int,
                                                 float))
                               and not isinstance(v, bool)})

@@ -96,3 +96,48 @@ def test_convert_indexed_to_tsd(tmp_path, rng):
     r = TsdReader(str(tmp_path / "new"))
     np.testing.assert_array_equal(r.field(1, "mel"), items[1]["mel"])
     r.close()
+
+
+def test_tsd_dataset_and_prefetch(tmp_path, rng):
+    """Full fast path: binarize-style TSD shard -> native batches match the
+    Python dataset's content; prefetch iterator covers the epoch."""
+    from stylesinger_tpu.config import tiny_test_config
+    from stylesinger_tpu.data.tsd_dataset import (
+        PrefetchBatcher, TsdStyleSingerDataset, precompute_item_fields,
+    )
+
+    cfg = tiny_test_config(max_frames=64)
+    w = TsdWriter(str(tmp_path / "train"))
+    items = []
+    for i in range(6):
+        t = int(rng.integers(12, 40))
+        tt = max(2, t // 4)
+        it = {
+            "mel": rng.standard_normal(
+                (t, cfg["audio_num_mel_bins"])).astype(np.float32),
+            "mel2ph": np.repeat(np.arange(1, tt + 1), 4)[:t],
+            "f0": np.abs(rng.standard_normal(t)).astype(np.float32) * 100
+            + 150,
+            "ph_token": rng.integers(1, 20, tt),
+            "ep_pitches": rng.integers(40, 80, tt),
+            "ep_notedurs": rng.uniform(0.1, 0.6, tt).astype(np.float32),
+            "ep_types": np.ones(tt, np.int64),
+            "spk_embed": rng.standard_normal(256).astype(np.float32),
+            "emo_embed": rng.standard_normal(256).astype(np.float32),
+        }
+        items.append(it)
+        w.add_item(precompute_item_fields(it, cfg))
+    w.finalize()
+
+    ds = TsdStyleSingerDataset(cfg, str(tmp_path / "train"))
+    assert len(ds) == 6
+    batch = ds.batch([0, 2, 4])
+    assert batch["mels"].shape[0] == 4  # pow2 padding
+    assert batch["mels"].shape[1] in tuple(cfg["frame_buckets"])
+    t0 = items[0]["mel"].shape[0]
+    np.testing.assert_array_equal(batch["mels"][0, :t0], items[0]["mel"])
+    assert (batch["txt_tokens"][3] == 0).all()  # padding row masked
+
+    bb = PrefetchBatcher(ds, cfg, shuffle=True, seed=3)
+    seen = sum(int(b["nsamples"]) for b in bb.batches(0))
+    assert seen == 6
