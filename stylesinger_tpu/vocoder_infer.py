@@ -109,3 +109,58 @@ class GriffinLim(BaseVocoder):
         return np.asarray(griffin_lim(
             mag, n_fft=c["fft_size"], hop_size=c["hop_size"],
             win_length=c["win_size"]))
+
+
+@register_vocoder
+class PWG(BaseVocoder):
+    """Parallel WaveGAN (legacy alternate; reference vocoders/pwg.py)."""
+
+    def __init__(self, cfg: Any, params: Optional[Any] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from stylesinger_tpu.models.legacy_vocoders import (
+            ParallelWaveGANGenerator,
+        )
+
+        self.cfg = cfg
+        self.model = ParallelWaveGANGenerator(cfg)
+        self._rng = jax.random.PRNGKey(0)
+        if params is None:
+            probe = jnp.zeros((1, 8, cfg["audio_num_mel_bins"]))
+            params = self.model.init(
+                {"params": self._rng, "noise": self._rng}, probe)["params"]
+        self.params = params
+        self._jit = jax.jit(lambda p, mel, rng: self.model.apply(
+            {"params": p}, mel, rngs={"noise": rng}))
+
+    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(self._jit(self.params, jnp.asarray(mel)[None],
+                                    self._rng))[0]
+
+
+@register_vocoder
+class MelGAN(BaseVocoder):
+    """MelGAN (legacy alternate; reference modules/parallel_wavegan/
+    models/melgan.py)."""
+
+    def __init__(self, cfg: Any, params: Optional[Any] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from stylesinger_tpu.models.legacy_vocoders import MelGANGenerator
+
+        self.cfg = cfg
+        self.model = MelGANGenerator(cfg)
+        self._rng = jax.random.PRNGKey(0)
+        if params is None:
+            probe = jnp.zeros((1, 8, cfg["audio_num_mel_bins"]))
+            params = self.model.init({"params": self._rng}, probe)["params"]
+        self.params = params
+        self._jit = jax.jit(lambda p, mel: self.model.apply(
+            {"params": p}, mel))
+
+    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
+        import jax.numpy as jnp
+        return np.asarray(self._jit(self.params, jnp.asarray(mel)[None]))[0]

@@ -291,3 +291,46 @@ def test_loudness_norm():
     out = normalize_loudness(wav, sr, target_lufs=-23.0)
     l2 = integrated_loudness(out, sr)
     assert abs(l2 - (-23.0)) < 1.0
+
+
+# --------------------------------------------------------- legacy vocoders
+
+def test_pqmf_reconstruction(rng):
+    from stylesinger_tpu.models.legacy_vocoders import PQMF
+    pqmf = PQMF(subbands=4)
+    t = 4096
+    wav = jnp.asarray(np.sin(2 * np.pi * 500 * np.arange(t) / 24000)
+                      .astype(np.float32))[None]
+    sub = pqmf.analysis(wav)
+    assert sub.shape == (1, t // 4, 4)
+    rec = np.asarray(pqmf.synthesis(sub))[0]
+    # near-perfect reconstruction up to the filterbank group delay
+    a = np.asarray(wav)[0]
+    corr = max(np.corrcoef(a[200:-200],
+                           np.roll(rec, d)[200:-200])[0, 1]
+               for d in range(-128, 129))
+    assert corr > 0.999
+    assert abs(rec.std() / a.std() - 1.0) < 0.01  # unit gain
+
+
+def test_pwg_and_melgan_generators(tiny_cfg):
+    from stylesinger_tpu.models.legacy_vocoders import (
+        MelGANGenerator, ParallelWaveGANGenerator,
+    )
+    cfg = dict(tiny_cfg)
+    cfg["hop_size"] = 64
+    mel = jax.random.normal(jax.random.PRNGKey(0),
+                            (1, 12, cfg["audio_num_mel_bins"]))
+    pwg = ParallelWaveGANGenerator(cfg, layers=6, stacks=2,
+                                   residual_channels=8, gate_channels=16,
+                                   skip_channels=8)
+    v = pwg.init({"params": jax.random.PRNGKey(0),
+                  "noise": jax.random.PRNGKey(1)}, mel)
+    wav = pwg.apply(v, mel, rngs={"noise": jax.random.PRNGKey(2)})
+    assert wav.shape == (1, 12 * 64)
+
+    mg = MelGANGenerator(cfg, base_channels=32)
+    v = mg.init({"params": jax.random.PRNGKey(0)}, mel)
+    wav = mg.apply(v, mel)
+    assert wav.shape == (1, 12 * 64)
+    assert np.isfinite(np.asarray(wav)).all()
