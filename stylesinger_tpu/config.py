@@ -130,6 +130,7 @@ DEFAULTS: Dict[str, Any] = dict(
     # --- pitch ---
     pitch_type="frame",
     pitch_norm="log",
+    cwt_std_scale=0.8,
     use_pitch_embed=True,
     use_uv=True,
     use_energy_embed=False,

@@ -249,15 +249,29 @@ class FFTBlocks(nn.Module):
         return x
 
 
+def espnet_rel_pos_table(n_positions: int, dim: int) -> np.ndarray:
+    """ESPnet ``RelPositionalEncoding`` table (reversed index order;
+    reference modules/commons/espnet_positional_embedding.py:89-112)."""
+    pos = np.arange(n_positions - 1, -1, -1.0)[:, None]
+    div = np.exp(np.arange(0, dim, 2) * -(math.log(10000.0) / dim))
+    table = np.zeros((n_positions, dim), np.float32)
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div)
+    return table
+
+
 class FastspeechEncoder(nn.Module):
     """Phone embedding (* sqrt(d)) + positions + FFT stack
-    (reference tts_modules.py:309-346)."""
+    (reference tts_modules.py:309-346).  ``rel_pos`` swaps the fairseq
+    mask-based positions for the ESPnet scaled encoding
+    (tts_modules.py:319-320)."""
     vocab_size: int
     hidden_size: int
     num_layers: int
     kernel_size: int
     num_heads: int = 2
     dropout: float = 0.1
+    rel_pos: bool = False
 
     @nn.compact
     def __call__(self, txt_tokens: jnp.ndarray,
@@ -266,7 +280,13 @@ class FastspeechEncoder(nn.Module):
         x = Embedding(self.vocab_size, self.hidden_size,
                       name="embed_tokens")(txt_tokens)
         x = x * math.sqrt(self.hidden_size)
-        x = x + SinusoidalPositionalEmbedding(self.hidden_size)(nonpadding)
+        if self.rel_pos:
+            table = jnp.asarray(espnet_rel_pos_table(4096,
+                                                     self.hidden_size))
+            x = x + table[None, -x.shape[1]:]
+        else:
+            x = x + SinusoidalPositionalEmbedding(
+                self.hidden_size)(nonpadding)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = FFTBlocks(self.hidden_size, self.num_layers, self.kernel_size,
                       self.num_heads, self.dropout, use_pos_embed=False,

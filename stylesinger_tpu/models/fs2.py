@@ -50,7 +50,8 @@ class FastSpeech2(nn.Module):
         h = c["hidden_size"]
         self.encoder = FastspeechEncoder(
             self.vocab_size, h, c["enc_layers"], c["enc_ffn_kernel_size"],
-            num_heads=c["num_heads"], dropout=c["dropout"])
+            num_heads=c["num_heads"], dropout=c["dropout"],
+            rel_pos=bool(c.get("rel_pos", False)))
         self.decoder = FastspeechDecoder(
             h, c["dec_layers"], c["dec_ffn_kernel_size"],
             num_heads=c["num_heads"], dropout=c["dropout"])
@@ -114,11 +115,53 @@ class FastSpeech2(nn.Module):
                   uv: Optional[jnp.ndarray], mel2ph: jnp.ndarray, ret: Dict,
                   *, encoder_out: Optional[jnp.ndarray] = None,
                   deterministic: bool = True) -> jnp.ndarray:
-        """Frame-level pitch embedding (fs2.py:185-231, pitch_type=frame)."""
+        """Pitch embedding, all three reference variants (fs2.py:185-231):
+        ``frame`` (per-frame f0+uv), ``cwt`` (10-scale wavelet spectrogram +
+        per-utterance stats), ``ph`` (phone-level f0 gathered to frames)."""
         c = self.cfg
         pitch_padding = mel2ph == 0
         tgt_nonpadding = (mel2ph > 0).astype(jnp.float32)
         pitch_inp = grad_scale(pitch_inp, c["predictor_grad"])
+
+        if c["pitch_type"] == "cwt":
+            from stylesinger_tpu.dsp.cwt import cwt2f0
+            from stylesinger_tpu.dsp.pitch import norm_f0
+            cwt_out = self.cwt_predictor(pitch_inp, tgt_nonpadding,
+                                         deterministic=deterministic)
+            ret["cwt"] = cwt_out
+            stats = self.cwt_stats_layers(encoder_out[:, 0, :])  # [B, 2]
+            mean = ret["f0_mean"] = stats[:, 0]
+            std = ret["f0_std"] = stats[:, 1]
+            if f0 is None:
+                std_s = std * c.get("cwt_std_scale", 0.8)
+                f0_hz = cwt2f0(cwt_out[:, :, :10], mean, std_s)
+                f0 = norm_f0(f0_hz, None, pitch_norm=c["pitch_norm"],
+                             f0_mean=c["f0_mean"], f0_std=c["f0_std"])
+                if c["use_uv"]:
+                    uv = (cwt_out[:, :, -1] > 0).astype(jnp.float32)
+            f0_denorm = denorm_f0(
+                f0, uv if c["use_uv"] else None, pitch_norm=c["pitch_norm"],
+                f0_mean=c["f0_mean"], f0_std=c["f0_std"])
+            ret["f0_denorm"] = f0_denorm
+            return self.pitch_embed(f0_to_coarse(f0_denorm))
+
+        if c["pitch_type"] == "ph":
+            src_nonpadding = (jnp.abs(encoder_out).sum(-1) > 0).astype(
+                jnp.float32)
+            pitch_pred = self.pitch_predictor(
+                grad_scale(encoder_out, c["predictor_grad"]),
+                src_nonpadding, deterministic=deterministic)
+            ret["pitch_pred"] = pitch_pred
+            if f0 is None:
+                f0 = pitch_pred[:, :, 0]
+            f0_denorm = denorm_f0(f0, None, pitch_norm=c["pitch_norm"],
+                                  f0_mean=c["f0_mean"], f0_std=c["f0_std"])
+            ret["f0_denorm"] = f0_denorm
+            pitch = f0_to_coarse(f0_denorm)          # [B, T_txt]
+            pitch = jnp.pad(pitch, ((0, 0), (1, 0)))
+            pitch = jnp.take_along_axis(pitch, mel2ph, axis=1)  # [B, T_mel]
+            return self.pitch_embed(pitch)
+
         pitch_pred = self.pitch_predictor(pitch_inp, tgt_nonpadding,
                                           deterministic=deterministic)
         ret["pitch_pred"] = pitch_pred

@@ -95,7 +95,8 @@ class StyleSinger(nn.Module):
         h = c["hidden_size"]
         self.encoder = FastspeechEncoder(
             self.vocab_size, h, c["enc_layers"], c["enc_ffn_kernel_size"],
-            num_heads=c["num_heads"], dropout=c["dropout"])
+            num_heads=c["num_heads"], dropout=c["dropout"],
+            rel_pos=bool(c.get("rel_pos", False)))
         self.note_encoder = NoteEncoder(h, c["note_vocab"],
                                         c["note_type_vocab"])
         self.spk_embed_proj = nn.Dense(

@@ -293,3 +293,20 @@ def test_plms_sampler_matches_full_roughly(tiny_cfg):
     # same order of magnitude (deterministic PLMS vs stochastic ancestral)
     assert np.abs(np.asarray(fast)).mean() < \
         5 * np.abs(np.asarray(full)).mean() + 1.0
+
+
+def test_fs2_pitch_type_variants(tiny_cfg):
+    """The reference's cwt and ph pitch variants (fs2.py:185-231)."""
+    b = _batch(tiny_cfg)
+    for ptype in ("cwt", "ph"):
+        cfg = dict(tiny_cfg)
+        cfg.update(max_frames=48, pitch_type=ptype, pitch_norm="log")
+        m = FastSpeech2(cfg, VOCAB, out_dims=cfg["audio_num_mel_bins"])
+        variables = m.init(ALL_RNGS, b["txt_tokens"], b["mel2ph"],
+                           b["spk_embed"], None, None, infer=False)
+        ret = m.apply(variables, b["txt_tokens"], b["mel2ph"],
+                      b["spk_embed"], None, None, infer=True, max_frames=32)
+        assert ret["mel_out"].shape == (2, 32, cfg["audio_num_mel_bins"])
+        assert np.isfinite(np.asarray(ret["mel_out"])).all(), ptype
+        if ptype == "cwt":
+            assert ret["cwt"].shape[-1] == 11
