@@ -53,3 +53,16 @@ def test_attribute_access():
     assert cfg.hidden_size == cfg["hidden_size"]
     cfg2 = cfg.replace(hidden_size=8)
     assert cfg2.hidden_size == 8 and cfg.hidden_size == 32
+
+
+def test_egs_recipe_cascade():
+    """The shipped egs/ recipe loads through the YAML cascade."""
+    import os
+    from stylesinger_tpu.config import load_config
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_config(os.path.join(root, "egs", "stylesinger.yaml"))
+    assert cfg["hidden_size"] == 256          # from tts/base.yaml
+    assert cfg["lambda_ph_dur"] == 0.1        # from tts/fs2.yaml
+    assert cfg["max_updates"] == 320000       # from config_base.yaml
+    assert cfg["f0_gen"] == "gmdiff"          # from stylesinger.yaml
+    assert cfg["nRQ"] == 128
