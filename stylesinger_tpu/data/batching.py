@@ -106,6 +106,8 @@ def collate_batch(samples: List[Dict], frame_buckets: Sequence[int],
         "note_types": stack("note_types", t_txt, dtype=np.int32),
         "nsamples": np.asarray(len(samples)),
     }
+    if "is_sil" in samples[0]:
+        batch["is_sil"] = stack("is_sil", t_txt)
     if "energy" in samples[0]:
         batch["energy"] = stack("energy", t_mel)
     if "spk_embed" in samples[0]:

@@ -84,6 +84,10 @@ class StyleSingerDataset:
             "note_durs": np.asarray(item["ep_notedurs"], np.float32)[:mt],
             "note_types": np.asarray(item["ep_types"], np.int64)[:mt],
         }
+        sil_ids = c.get("sil_token_ids")
+        if sil_ids:
+            sample["is_sil"] = np.isin(
+                sample["txt_tokens"], np.asarray(sil_ids)).astype(np.float32)
         if c.get("use_energy_embed", False):
             # frame energy from the (log) mel (reference
             # tasks/tts/dataset_utils.py:146)

@@ -140,3 +140,67 @@ class DDiffNet(nn.Module):
                     kernel_init=nn.initializers.zeros,
                     name="output_projection")(x)
         return x * mask
+
+
+class F0DiffNet(nn.Module):
+    """Gaussian-only F0 denoiser (reference ``F0DiffNet``,
+    modules/diff/net.py:133-180): continuous f0 channel only, no uv
+    embedding — used with the legacy ``f0_gen: diff`` switch."""
+    in_dims: int = 1
+    residual_layers: int = 10
+    residual_channels: int = 192
+    dilation_cycle_length: int = 4
+
+    @nn.compact
+    def __call__(self, f0: jnp.ndarray, t: jnp.ndarray, cond: jnp.ndarray,
+                 nonpadding: jnp.ndarray) -> jnp.ndarray:
+        c = self.residual_channels
+        mask = nonpadding[..., None]
+        x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
+                    name="input_projection")(f0) * mask
+        x = jax.nn.relu(x)
+        step_emb = DiffusionStepMLP(c, name="mlp")(t)
+        skips = []
+        for i in range(self.residual_layers):
+            x, skip = ResidualBlock(
+                c, 2 ** (i % self.dilation_cycle_length),
+                name=f"residual_{i}")(x, cond, step_emb)
+            skips.append(skip)
+        x = sum(skips) / math.sqrt(self.residual_layers)
+        x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
+                    name="skip_projection")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.in_dims, (1,), kernel_init=nn.initializers.zeros,
+                    name="output_projection")(x)
+        return x * mask
+
+
+class MDiffNet(nn.Module):
+    """Categorical-only uv denoiser (reference ``MDiffNet``,
+    modules/diff/net.py:269-319): uv embedding input, class logits out."""
+    num_classes: int = 2
+    residual_layers: int = 10
+    residual_channels: int = 192
+    dilation_cycle_length: int = 4
+
+    @nn.compact
+    def __call__(self, uv: jnp.ndarray, t: jnp.ndarray, cond: jnp.ndarray,
+                 nonpadding: jnp.ndarray) -> jnp.ndarray:
+        c = self.residual_channels
+        mask = nonpadding[..., None]
+        x = nn.Embed(self.num_classes, c, name="uv_embed")(uv) * mask
+        step_emb = DiffusionStepMLP(c, name="mlp")(t)
+        skips = []
+        for i in range(self.residual_layers):
+            x, skip = ResidualBlock(
+                c, 2 ** (i % self.dilation_cycle_length),
+                name=f"residual_{i}")(x, cond, step_emb)
+            skips.append(skip)
+        x = sum(skips) / math.sqrt(self.residual_layers)
+        x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
+                    name="skip_projection")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.num_classes, (1,),
+                    kernel_init=nn.initializers.zeros,
+                    name="output_projection")(x)
+        return x * mask

@@ -341,6 +341,55 @@ def sample_gm(denoise_fn: Callable, sched: Schedule, cond_T: int, batch: int,
     return z_f0, log_onehot_to_index(log_z_uv).astype(jnp.float32)
 
 
+def sample_gm_dual(denoise_fn_a: Callable, denoise_fn_b: Callable,
+                   sched: Schedule, cond_T: int, batch: int, rng: jax.Array,
+                   dyn_clip: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                   num_classes: int = 2):
+    """Run the domain-agnostic and domain-specific joint f0+uv reverse
+    chains in ONE ``lax.scan`` (the reference runs them sequentially,
+    stylesinger.py:249-311).  At inference the chains are independent, so
+    fusing them halves the scan count — on small-batch serving the fixed
+    per-step dispatch dominates, making this ~2x on the F0 stage.
+
+    Returns ((f0_a [B,T,1], uv_a [B,T]), (f0_b, uv_b)).
+    """
+    T = sched.num_timesteps
+    rng, ra, rb, rua, rub = jax.random.split(rng, 5)
+    z_a = jax.random.normal(ra, (batch, cond_T, 1))
+    z_b = jax.random.normal(rb, (batch, cond_T, 1))
+    log_ua = log_sample_categorical(
+        rua, jnp.zeros((batch, num_classes, cond_T)), num_classes)
+    log_ub = log_sample_categorical(
+        rub, jnp.zeros((batch, num_classes, cond_T)), num_classes)
+    clip = dyn_clip if dyn_clip is not None else (-1.0, 1.0)
+
+    def half_step(denoise_fn, z, log_u, t, rng_i):
+        rng_g, rng_c = jax.random.split(rng_i)
+        out = denoise_fn(z, log_onehot_to_index(log_u), t)
+        eps = out[..., :1]
+        logits = jnp.swapaxes(out[..., 1:], 1, 2)
+        z = gaussian_p_sample(sched, z, t, eps, rng_g, clip=clip)
+        log_model = cat_p_pred(sched, logits, log_u, t, num_classes)
+        log_u = log_sample_categorical(rng_c, log_model, num_classes)
+        return z, log_u
+
+    def step(carry, inp):
+        z_a, log_ua, z_b, log_ub = carry
+        t_scalar, rng_i = inp
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        rng_a, rng_b = jax.random.split(rng_i)
+        z_a, log_ua = half_step(denoise_fn_a, z_a, log_ua, t, rng_a)
+        z_b, log_ub = half_step(denoise_fn_b, z_b, log_ub, t, rng_b)
+        return (z_a, log_ua, z_b, log_ub), None
+
+    ts = jnp.arange(T - 1, -1, -1)
+    rngs = jax.random.split(rng, T)
+    (z_a, log_ua, z_b, log_ub), _ = jax.lax.scan(
+        step, (z_a, log_ua, z_b, log_ub), (ts, rngs))
+    return ((z_a, log_onehot_to_index(log_ua).astype(jnp.float32)),
+            (z_b, log_onehot_to_index(log_ub).astype(jnp.float32)))
+
+
 def sample_shallow(denoise_fn: Callable, sched: Schedule,
                    coarse_norm: jnp.ndarray, rng: jax.Array,
                    K_step: int) -> jnp.ndarray:

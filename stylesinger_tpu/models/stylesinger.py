@@ -235,7 +235,6 @@ class StyleSinger(nn.Module):
         inp_specific = grad_scale(inp_specific, c["predictor_grad"])
 
         if c["f0_gen"] == "gmdiff":
-            dyn_clip = None
             if infer:
                 # x0 bounds from MIDI +/- 3 semitones in normed log2-Hz
                 # (reference stylesinger.py:275-283)
@@ -244,17 +243,40 @@ class StyleSinger(nn.Module):
                 lo = jnp.clip(minmax_norm_lf0(lo), -1.0, 1.0)[..., None]
                 hi = jnp.clip(minmax_norm_lf0(hi), -1.0, 1.0)[..., None]
                 dyn_clip = (lo, hi)
-            p_agn = self._gmdiff_pitch(
-                inp_agnostic, f0, uv, nonpadding, self.gm_diffnet,
-                infer=infer, dyn_clip=dyn_clip, prefix="1", ret=ret)
-            p_spec = self._gmdiff_pitch(
-                inp_specific, f0, uv, nonpadding, self.gm_diffnet_inpainte,
-                infer=infer, dyn_clip=dyn_clip, prefix="2", ret=ret)
-            if infer:
+
+                # both reverse chains fused into one scan (the per-step
+                # dispatch dominates at serving batch sizes)
+                def fn_a(f0_t, uv_t, t):
+                    return self.gm_diffnet(f0_t, uv_t, t, inp_agnostic,
+                                           nonpadding)
+
+                def fn_b(f0_t, uv_t, t):
+                    return self.gm_diffnet_inpainte(
+                        f0_t, uv_t, t, inp_specific, nonpadding)
+
+                rng = self.make_rng("diffusion")
+                (fa, ua), (fb, ub) = diff.sample_gm_dual(
+                    fn_a, fn_b, self.f0_sched, inp_agnostic.shape[1],
+                    inp_agnostic.shape[0], rng, dyn_clip=dyn_clip)
+                p_agn = jnp.stack([minmax_denorm_lf0(fa[..., 0]), ua],
+                                  axis=-1)
+                p_spec = jnp.stack([minmax_denorm_lf0(fb[..., 0]), ub],
+                                   axis=-1)
+                for k in ("gdiff1", "mdiff1", "gdiff2", "mdiff2"):
+                    ret[k] = 0.0
                 # rest notes are forced unvoiced (stylesinger.py:288)
                 rest = (midi_notes == 0)[..., None]
                 p_agn = jnp.where(rest, p_agn.at[..., 1:].set(1.0), p_agn)
-                p_spec = jnp.where(rest, p_spec.at[..., 1:].set(1.0), p_spec)
+                p_spec = jnp.where(rest, p_spec.at[..., 1:].set(1.0),
+                                   p_spec)
+            else:
+                p_agn = self._gmdiff_pitch(
+                    inp_agnostic, f0, uv, nonpadding, self.gm_diffnet,
+                    infer=False, dyn_clip=None, prefix="1", ret=ret)
+                p_spec = self._gmdiff_pitch(
+                    inp_specific, f0, uv, nonpadding,
+                    self.gm_diffnet_inpainte, infer=False, dyn_clip=None,
+                    prefix="2", ret=ret)
         else:
             p_agn = self.pitch_predictor(inp_agnostic, nonpadding,
                                          deterministic=deterministic)

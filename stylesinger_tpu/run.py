@@ -35,8 +35,13 @@ def main() -> None:
     cfg["work_dir"] = work_dir
 
     if args.command == "binarize":
-        from stylesinger_tpu.data.binarize import binarize
-        binarize(cfg)
+        import importlib
+        cls_path = cfg.get("binarizer_cls",
+                           "stylesinger_tpu.data.binarize."
+                           "StyleSingingBinarizer")
+        mod, cls = cls_path.rsplit(".", 1)
+        binarizer_cls = getattr(importlib.import_module(mod), cls)
+        binarizer_cls(cfg).process()
         return
 
     if args.command == "train":

@@ -310,3 +310,21 @@ def test_fs2_pitch_type_variants(tiny_cfg):
         assert np.isfinite(np.asarray(ret["mel_out"])).all(), ptype
         if ptype == "cwt":
             assert ret["cwt"].shape[-1] == 11
+
+
+def test_legacy_denoisers(tiny_cfg):
+    from stylesinger_tpu.models.diffnet import F0DiffNet, MDiffNet
+    b, t, h = 2, 12, 32
+    cond = jax.random.normal(KEY, (b, t, h))
+    nonpadding = jnp.ones((b, t))
+    f0 = jax.random.normal(KEY, (b, t, 1))
+    step = jnp.asarray([1, 2])
+    m = F0DiffNet(residual_layers=2, residual_channels=16)
+    v = m.init(KEY, f0, step, cond, nonpadding)
+    out = m.apply(v, f0, step, cond, nonpadding)
+    assert out.shape == (b, t, 1)
+    uv = jnp.zeros((b, t), jnp.int32)
+    m2 = MDiffNet(residual_layers=2, residual_channels=16)
+    v2 = m2.init(KEY, uv, step, cond, nonpadding)
+    out2 = m2.apply(v2, uv, step, cond, nonpadding)
+    assert out2.shape == (b, t, 2)
