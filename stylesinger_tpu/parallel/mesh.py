@@ -46,6 +46,22 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place each [B, ...] array with B sharded over the 'data' axis."""
+    """Place each [B, ...] array with B sharded over the 'data' axis.
+
+    B is zero-padded up to a multiple of the data-axis size (extra rows are
+    all-padding and masked out downstream by txt_tokens==0 / mel2ph==0)."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    n = mesh.shape["data"]
+
+    def place(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        if x.ndim == 0:
+            return jax.device_put(x, replicate_sharding(mesh))
+        b = x.shape[0]
+        pad = (-b) % n
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = np.pad(np.asarray(x), widths)
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(place, batch)

@@ -58,11 +58,15 @@ def main() -> None:
         valid_ds = StyleSingerDataset(cfg, cfg["valid_set_name"])
         trainer = Trainer(model, cfg, work_dir)
 
+        import jax
+        rank, world = jax.process_index(), jax.process_count()
+
         def endless():
             epoch = 0
             while True:
                 bb = BucketBatcher(train_ds, cfg, shuffle=True,
-                                   seed=cfg["seed"])
+                                   seed=cfg["seed"], rank=rank,
+                                   world_size=world)
                 yield from bb.batches(epoch)
                 epoch += 1
 

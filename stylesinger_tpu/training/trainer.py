@@ -58,7 +58,7 @@ class MetricsWriter:
 
 class Trainer:
     def __init__(self, model, cfg: Any, work_dir: str,
-                 mesh: Optional[Any] = None):
+                 mesh: Optional[Any] = None, vocoder: Optional[Any] = None):
         self.model = model
         self.cfg = cfg
         self.work_dir = work_dir
@@ -69,6 +69,7 @@ class Trainer:
                                       save_best=cfg["save_best"])
         self.metrics = MetricsWriter(work_dir)
         self.rng = jax.random.PRNGKey(cfg["seed"])
+        self.vocoder = vocoder  # optional: validation audio dumps
 
     # ------------------------------------------------------------------
     def fit(self, train_batches: Iterable[Dict],
@@ -95,6 +96,21 @@ class Trainer:
 
         t0 = time.time()
         window_losses: Dict[str, list] = {}
+        try:
+            step, state = self._train_loop(
+                it, train_batches, state, step, max_updates,
+                valid_batches_fn, window_losses, t0)
+        except KeyboardInterrupt:
+            # reference saves on Ctrl-C too (utils/trainer.py:152-153)
+            print(f"| KeyboardInterrupt: saving checkpoint at step {step}")
+            self.ckpt.save(step, state)
+            raise
+        return state
+
+    def _train_loop(self, it, train_batches, state, step, max_updates,
+                    valid_batches_fn, window_losses, t0):
+        c = self.cfg
+        profile_at = c.get("profile_step", -1)
         while step < max_updates:
             try:
                 batch = next(it)
@@ -133,22 +149,68 @@ class Trainer:
                     val_loss = self.validate(state, valid_batches_fn(), step,
                                              phase)
                 self.ckpt.save(step, state, val_loss)
-        return state
+        return step, state
 
     # ------------------------------------------------------------------
     def validate(self, state, batches: Iterable[Dict], step: int,
                  phase: Phase) -> float:
         sums: Dict[str, float] = {}
         n = 0
+        first_batch = None
         for batch in batches:
             batch = shard_batch(self._numeric(batch), self.mesh)
+            if first_batch is None:
+                first_batch = batch
             losses = self.eval_step(state, batch, self.rng, phase)
             for k, v in losses.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
         avg = {k: v / max(n, 1) for k, v in sums.items()}
         self.metrics.write(step, avg, "valid")
+        if first_batch is not None and \
+                step % self.cfg.get("valid_infer_interval", 5000) == 0:
+            try:
+                self._dump_valid_artifacts(state, first_batch, step)
+            except Exception as e:  # plots must never kill training
+                print(f"| valid plot failed: {e}")
         return avg.get("total_loss", 0.0)
+
+    def _dump_valid_artifacts(self, state, batch: Dict, step: int) -> None:
+        """Rendered mel/f0 figures (+ vocoded audio when a vocoder is
+        attached), the reference's TensorBoard media summaries
+        (tasks/StyleSinger/stylesinger.py:92-151)."""
+        from stylesinger_tpu.dsp.mel import save_wav
+        from stylesinger_tpu.utils.plot import (
+            f0_to_figure, figure_to_image, spec_to_figure,
+        )
+
+        out_dir = os.path.join(self.work_dir, "valid_plots")
+        os.makedirs(out_dir, exist_ok=True)
+        variables = {"params": state.params, "codebook": state.codebook}
+        ret = self.model.apply(
+            variables, batch["txt_tokens"], None, batch["spk_embed"],
+            batch.get("emo_embed"), batch["mels"], batch["f0"], None, None,
+            batch["notes"], batch["note_durs"], batch["note_types"],
+            infer=True, use_diff=True,
+            max_frames=int(batch["mels"].shape[1]),
+            rngs={"diffusion": self.rng, "rq": self.rng})
+        mel = np.asarray(ret["mel_out"])[0]
+        f0 = np.asarray(ret["f0_denorm"])[0]
+        n = int(np.asarray((ret["mel2ph"][0] > 0)).sum())
+        img = figure_to_image(spec_to_figure(mel[: max(n, 1)],
+                                             title=f"step {step}"))
+        try:
+            import matplotlib.pyplot as plt  # noqa: F401
+            import imageio  # type: ignore
+            imageio.imwrite(os.path.join(out_dir, f"mel_{step}.png"), img)
+        except Exception:
+            np.save(os.path.join(out_dir, f"mel_{step}.npy"),
+                    mel[: max(n, 1)])
+        figure_to_image(f0_to_figure(f0[: max(n, 1)]))
+        if self.vocoder is not None and n > 0:
+            wav = self.vocoder.spec2wav(mel[:n], f0=f0[:n])
+            save_wav(wav, os.path.join(out_dir, f"wav_{step}.wav"),
+                     self.cfg["audio_sample_rate"])
 
     @staticmethod
     def _numeric(batch: Dict) -> Dict:

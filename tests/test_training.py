@@ -147,3 +147,28 @@ def test_vocoder_gan_steps(tiny_cfg, rng):
     for k, v in {**dm, **gm}.items():
         assert np.isfinite(float(v)), k
     assert int(state.step) == 1
+
+
+def test_trainer_fit_smoke(tmp_path, tiny_cfg, rng):
+    """Two optimizer steps through the Trainer loop: metrics + checkpoint."""
+    import os
+
+    from stylesinger_tpu.training.trainer import Trainer
+
+    cfg = dict(tiny_cfg)
+    cfg.update(max_frames=64, max_updates=2, val_check_interval=2,
+               tb_log_interval=1, valid_infer_interval=10 ** 9,
+               num_ckpt_keep=1)
+    model = StyleSinger(cfg, VOCAB)
+    batch = _synthetic_batch(cfg, rng, n=4)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+
+    trainer = Trainer(model, cfg, str(tmp_path))
+    state = trainer.fit([batch, batch, batch],
+                        valid_batches_fn=lambda: iter([batch]),
+                        example_batch=batch)
+    assert int(state.step) == 2
+    assert os.path.exists(tmp_path / "metrics.jsonl")
+    lines = open(tmp_path / "metrics.jsonl").read().strip().split("\n")
+    assert len(lines) >= 2
+    assert trainer.ckpt.latest_step() == 2
