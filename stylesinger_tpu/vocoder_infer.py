@@ -88,6 +88,44 @@ class HifiGAN_NSF(BaseVocoder):
                 win_length=c["win_size"]))
         return wav
 
+    def spec2wav_streaming(self, mel: np.ndarray,
+                           f0: Optional[np.ndarray] = None,
+                           chunk_frames: int = 256,
+                           overlap_frames: int = 16) -> np.ndarray:
+        """Chunked synthesis with crossfaded overlaps: constant device
+        memory and ONE compiled shape regardless of utterance length
+        (the streaming-serving mode of BASELINE config 5)."""
+        import jax.numpy as jnp
+
+        hop = self.cfg["hop_size"]
+        t = mel.shape[0]
+        if f0 is None:
+            f0 = np.zeros(t, np.float32)
+        if t <= chunk_frames:
+            return self.spec2wav(mel, f0=f0)
+        step = chunk_frames - 2 * overlap_frames
+        out = np.zeros(t * hop, np.float32)
+        weight = np.zeros(t * hop, np.float32)
+        fade = np.ones(chunk_frames * hop, np.float32)
+        ramp = np.linspace(0.0, 1.0, overlap_frames * hop, dtype=np.float32)
+        fade[: overlap_frames * hop] = ramp
+        fade[-overlap_frames * hop:] = ramp[::-1]
+        pos = 0
+        while pos < t:
+            s = min(pos, t - chunk_frames) if t >= chunk_frames else 0
+            mel_c = mel[s: s + chunk_frames]
+            f0_c = f0[s: s + chunk_frames]
+            wav_c = np.asarray(self._jit(
+                self.params, jnp.asarray(mel_c)[None],
+                jnp.asarray(f0_c)[None], self._rng))[0]
+            o = s * hop
+            out[o: o + len(wav_c)] += wav_c * fade[: len(wav_c)]
+            weight[o: o + len(wav_c)] += fade[: len(wav_c)]
+            if s + chunk_frames >= t:
+                break
+            pos = s + step
+        return out / np.maximum(weight, 1e-8)
+
 
 @register_vocoder
 class GriffinLim(BaseVocoder):

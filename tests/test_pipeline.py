@@ -101,3 +101,39 @@ def test_infer_api_smoke(tmp_path, rng):
     assert out["wav"].ndim == 1
     assert len(out["wav"]) == out["mel"].shape[0] * hop
     assert np.isfinite(out["wav"]).all()
+
+
+def test_infer_batch_and_streaming_vocoder(tmp_path, rng):
+    """Batched synthesis API + chunked streaming vocoder."""
+    sr = 24000
+    t = np.arange(sr) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref_fn = str(tmp_path / "ref.wav")
+    save_wav(ref, ref_fn, sr)
+
+    cfg = tiny_test_config(
+        audio_sample_rate=sr, fft_size=512, win_size=512, hop_size=64,
+        fmax=12000, max_frames=48, binary_data_dir=str(tmp_path))
+    from stylesinger_tpu.inference import StyleSingerInfer
+
+    infer = StyleSingerInfer(cfg, phone_list=["a", "b", "c"])
+    infer.init_random()
+    inp = {"ph": "a b c", "notes": [60, 62, 64],
+           "notes_duration": [0.2, 0.2, 0.2], "note_types": [1, 1, 1],
+           "ref_audio": ref_fn}
+    outs = infer.infer_batch([inp, inp])
+    assert len(outs) == 2
+    for o in outs:
+        assert o["wav"].ndim == 1
+        assert np.isfinite(o["wav"]).all()
+
+    # streaming vocoder: long mel, chunked synthesis, finite + right length
+    from stylesinger_tpu.vocoder_infer import HifiGAN_NSF
+    voc = HifiGAN_NSF(cfg)
+    mel = rng.standard_normal((200, cfg["audio_num_mel_bins"])) \
+        .astype(np.float32) * 0.2 - 2
+    f0 = np.full(200, 220.0, np.float32)
+    wav = voc.spec2wav_streaming(mel, f0=f0, chunk_frames=64,
+                                 overlap_frames=8)
+    assert wav.shape == (200 * 64,)
+    assert np.isfinite(wav).all()
