@@ -172,3 +172,43 @@ def test_trainer_fit_smoke(tmp_path, tiny_cfg, rng):
     lines = open(tmp_path / "metrics.jsonl").read().strip().split("\n")
     assert len(lines) >= 2
     assert trainer.ckpt.latest_step() == 2
+
+
+def test_fs2_task_step(tiny_cfg, rng):
+    from stylesinger_tpu.models.fs2 import FastSpeech2
+    from stylesinger_tpu.training.fs2_task import (
+        init_fs2_state, make_fs2_train_step,
+    )
+
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = FastSpeech2(cfg, VOCAB, out_dims=cfg["audio_num_mel_bins"])
+    batch = _synthetic_batch(cfg, rng, n=2)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = init_fs2_state(model, cfg, batch)
+    step_fn = make_fs2_train_step(model, cfg)
+    state, losses = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert int(state.step) == 1
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_pe_task_step(tiny_cfg, rng):
+    from stylesinger_tpu.models.pe import PitchExtractor
+    from stylesinger_tpu.training.fs2_task import make_pe_train_step
+    from stylesinger_tpu.training.step import TrainState, make_optimizer
+
+    cfg = dict(tiny_cfg)
+    model = PitchExtractor(cfg)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 24, cfg["audio_num_mel_bins"])).astype(np.float32))
+    f0 = jnp.asarray(rng.uniform(7, 9, (2, 24)).astype(np.float32))
+    uv = jnp.zeros((2, 24))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, mel)
+    state = TrainState.create(v["params"], {}, make_optimizer(cfg))
+    step_fn = make_pe_train_step(model, cfg)
+    state, losses = step_fn(state, {"mels": mel, "f0": f0, "uv": uv},
+                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["total_loss"]))
