@@ -212,3 +212,29 @@ def test_pe_task_step(tiny_cfg, rng):
     state, losses = step_fn(state, {"mels": mel, "f0": f0, "uv": uv},
                             jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_training_loss_decreases(tiny_cfg, rng):
+    """30 optimizer steps on a fixed tiny batch: total loss must drop
+    (end-to-end learning signal through every submodule)."""
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    cfg["warmup_updates"] = 5
+    model = StyleSinger(cfg, VOCAB)
+    batch = _synthetic_batch(cfg, rng, n=8)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+
+    mesh = make_mesh()
+    sbatch = shard_batch(batch, mesh)
+    state = init_state(model, cfg, batch)
+    step_fn = make_train_step(model, cfg)
+    phase = Phase(use_rq=True, forcing=False, use_diff=True)
+    rng_j = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        state, m = step_fn(state, sbatch, rng_j, phase)
+        losses.append(float(m["total_loss"]))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert np.isfinite(losses).all()
+    assert last < first, (first, last)
