@@ -9,8 +9,7 @@ evaluation.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Tuple
+
 
 import jax
 import jax.numpy as jnp

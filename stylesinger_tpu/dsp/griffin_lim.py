@@ -10,7 +10,6 @@ batched on the TPU rather than per-utterance on CPU.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

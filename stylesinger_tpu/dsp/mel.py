@@ -14,7 +14,7 @@ XLA lowers this to the TPU's native FFT; the mel projection is a single
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

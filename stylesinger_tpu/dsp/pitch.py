@@ -15,7 +15,6 @@ Parity targets in the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -22,8 +22,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from stylesinger_tpu.config import Config, load_config
-from stylesinger_tpu.dsp.mel import load_wav, pad_wav_to_frames, save_wav, \
-    wav2spec_np
+from stylesinger_tpu.dsp.mel import load_wav, save_wav, wav2spec_np
 from stylesinger_tpu.dsp.pitch import extract_pitch, norm_interp_f0_np
 from stylesinger_tpu.text import TokenTextEncoder, build_token_encoder
 from stylesinger_tpu.models.encoders import (
@@ -119,7 +118,6 @@ class StyleSingerInfer:
                 self.variables = convert_stylesinger(sd, self.cfg)
                 return
             from stylesinger_tpu.training.checkpoint import CheckpointManager
-            from stylesinger_tpu.training.step import init_state
             if self.variables is None:
                 self.init_random()
             mgr = CheckpointManager(state_or_dir,

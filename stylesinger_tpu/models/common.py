@@ -18,7 +18,7 @@ Dropout everywhere uses flax's 'dropout' PRNG collection; pass
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

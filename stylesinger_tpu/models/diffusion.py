@@ -19,7 +19,6 @@ epsilons (gmd.py:113-147).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

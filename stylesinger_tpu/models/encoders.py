@@ -19,8 +19,6 @@ utterances, scaled cosine similarity) is a pure function for fine-tuning.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

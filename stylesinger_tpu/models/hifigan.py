@@ -26,7 +26,6 @@ TPU-native design notes:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -16,7 +16,7 @@ and multi-band experiments, registered in ``vocoder_infer``.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -8,10 +8,9 @@ F0 from synthesized mels when the acoustic model doesn't emit it.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from stylesinger_tpu.dsp.pitch import denorm_f0

@@ -12,7 +12,6 @@ binarize.py`` (binarize CLI), and ``inference/StyleSinger.py`` __main__
 from __future__ import annotations
 
 import argparse
-import json
 import os
 
 

@@ -12,7 +12,6 @@ remaining members of the reference's task registry (``tasks/run.py``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax

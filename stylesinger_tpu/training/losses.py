@@ -18,7 +18,6 @@ explicit; segment sums use scatter-add instead of Python loops.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import jax

@@ -14,7 +14,6 @@ acoustic trainer.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -27,7 +26,6 @@ from stylesinger_tpu.models.hifigan import (
     HifiGanGenerator, MultiPeriodDiscriminator, MultiScaleDiscriminator,
     discriminator_loss, feature_matching_loss, generator_adv_loss,
 )
-from stylesinger_tpu.ops.mel_pallas import mel_spectrogram
 
 
 class VocoderState(struct.PyTreeNode):

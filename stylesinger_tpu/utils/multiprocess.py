@@ -10,7 +10,7 @@ set ``num_workers<=1`` (or JAX-in-worker workloads) for in-process mapping.
 from __future__ import annotations
 
 import traceback
-from typing import Any, Callable, Iterable, Iterator, List, Optional, Tuple
+from typing import Any, Callable, Iterator, List, Optional, Tuple
 
 
 def _safe_call(job: Tuple[Callable, tuple]) -> Any:
