@@ -238,3 +238,31 @@ def test_training_loss_decreases(tiny_cfg, rng):
     last = np.mean(losses[-5:])
     assert np.isfinite(losses).all()
     assert last < first, (first, last)
+
+
+def test_sharded_batched_inference(tiny_cfg, rng):
+    """Serving path: batched zero-shot inference sharded over the 8-device
+    mesh (batch axis on 'data'); per-item outputs match device count."""
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _synthetic_batch(cfg, rng, n=8)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+    state = init_state(model, cfg, batch)
+    variables = {"params": state.params, "codebook": state.codebook}
+
+    mesh = make_mesh()
+    sb = shard_batch(batch, mesh)
+
+    @jax.jit
+    def serve(variables, b, rng):
+        ret = model.apply(
+            variables, b["txt_tokens"], None, b["spk_embed"],
+            b["emo_embed"], b["mels"], b["f0"], None, None, b["notes"],
+            b["note_durs"], b["note_types"], infer=True, use_diff=True,
+            max_frames=64, rngs={"diffusion": rng, "rq": rng})
+        return ret["mel_out"], ret["f0_denorm"]
+
+    mel, f0 = serve(variables, sb, jax.random.PRNGKey(0))
+    assert mel.shape == (8, 64, cfg["audio_num_mel_bins"])
+    assert np.isfinite(np.asarray(mel)).all()
