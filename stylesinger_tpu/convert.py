@@ -391,3 +391,44 @@ def load_torch_checkpoint(path: str, child: Optional[str] = "model"):
     if child is not None and child in sd:
         sd = sd[child]
     return {k: v for k, v in sd.items()}
+
+
+def main() -> None:
+    """CLI: convert a reference torch checkpoint to framework params.
+
+    usage: python -m stylesinger_tpu.convert <model.ckpt> <out_dir>
+           [--config egs/stylesinger.yaml] [--hifigan]
+    """
+    import argparse
+    import os
+    import pickle
+
+    from stylesinger_tpu.config import load_config
+
+    ap = argparse.ArgumentParser("stylesinger_tpu.convert")
+    ap.add_argument("ckpt")
+    ap.add_argument("out_dir")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--hifigan", action="store_true",
+                    help="the checkpoint is a vocoder (model_gen child)")
+    a = ap.parse_args()
+    cfg = load_config(a.config)
+    sd = load_torch_checkpoint(a.ckpt, child="model_gen" if a.hifigan
+                               else "model")
+    variables = convert_hifigan(sd, cfg) if a.hifigan else \
+        convert_stylesinger(sd, cfg)
+    os.makedirs(a.out_dir, exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp
+        ocp.StandardCheckpointer().save(
+            os.path.join(os.path.abspath(a.out_dir), "converted"),
+            variables)
+        print(f"| wrote orbax params to {a.out_dir}/converted")
+    except Exception:
+        with open(os.path.join(a.out_dir, "converted.pkl"), "wb") as f:
+            pickle.dump(variables, f)
+        print(f"| wrote pickle params to {a.out_dir}/converted.pkl")
+
+
+if __name__ == "__main__":
+    main()

@@ -99,8 +99,12 @@ class StyleSinger(nn.Module):
             rel_pos=bool(c.get("rel_pos", False)))
         self.note_encoder = NoteEncoder(h, c["note_vocab"],
                                         c["note_type_vocab"])
-        self.spk_embed_proj = nn.Dense(
-            h, kernel_init=nn.initializers.xavier_uniform())
+        if c.get("use_spk_id", False):
+            # integer speaker ids instead of d-vectors (fs2.py:37-40)
+            self.spk_embed_proj = Embedding(c["num_spk"] + 1, h)
+        else:
+            self.spk_embed_proj = nn.Dense(
+                h, kernel_init=nn.initializers.xavier_uniform())
         if c["emo"]:
             self.emo_embed_proj = nn.Dense(
                 h, kernel_init=nn.initializers.xavier_uniform())
@@ -381,7 +385,10 @@ class StyleSinger(nn.Module):
                                                       note_type)
         src_nonpadding = (txt_tokens > 0).astype(jnp.float32)[:, :, None]
 
-        spk = self.spk_embed_proj(spk_embed)[:, None, :]
+        if self.cfg.get("use_spk_id", False):
+            spk = self.spk_embed_proj(spk_embed.astype(jnp.int32))[:, None, :]
+        else:
+            spk = self.spk_embed_proj(spk_embed)[:, None, :]
         ret["spk_embed"] = spk
         emo = 0.0
         if c["emo"]:
