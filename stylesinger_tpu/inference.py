@@ -170,6 +170,8 @@ class StyleSingerInfer:
             f0_mean=c["f0_mean"], f0_std=c["f0_std"])
 
         # 16 kHz GE2E front-end for the d-vector encoders
+        if self.spk_variables is None:
+            self.init_random()
         t16 = np.arange(int(len(wav48) * GE2E_SR / c["audio_sample_rate"]))
         wav16 = np.interp(t16 * (c["audio_sample_rate"] / GE2E_SR),
                           np.arange(len(wav48)), wav48).astype(np.float32)

@@ -372,3 +372,82 @@ def test_load_torch_checkpoint_file(hp, tmp_path, rng):
     np.testing.assert_array_equal(
         variables["params"]["mel_out"]["kernel"],
         ref.state_dict()["mel_out.weight"].numpy().T)
+
+
+# ------------------------------------------------------- diffusion math
+
+def test_gmd_math_parity(hp, rng):
+    """Schedule buffers + deterministic diffusion ops vs the reference
+    GaussianMultinomialDiffusion (gmd.py:208-460)."""
+    from modules.diff.gaussian_multinomial_diffusion import (
+        GaussianMultinomialDiffusion as RefGMD,
+    )
+    from modules.diff.net import DDiffNet as RefDDN
+
+    from stylesinger_tpu.models import diffusion as diff
+
+    hp["f0_max_beta"] = 0.06
+    T = 16
+    ref = RefGMD(num_classes=2, denoise_fn=RefDDN(1, 2),
+                 num_timesteps=T).eval()
+    sched = diff.make_schedule(T, 0.06, "linear")
+
+    # schedule buffers
+    for ours, theirs in [
+        (sched.alphas_cumprod, ref.alphas_cumprod),
+        (sched.sqrt_alphas_cumprod, ref.sqrt_alphas_cumprod),
+        (sched.posterior_mean_coef1, ref.posterior_mean_coef1),
+        (sched.posterior_log_variance_clipped,
+         ref.posterior_log_variance_clipped),
+        (sched.log_alpha, ref.log_alpha),
+        (sched.log_1_min_cumprod_alpha, ref.log_1_min_cumprod_alpha),
+    ]:
+        _close(ours, theirs.float().numpy(), atol=1e-5, rtol=1e-4)
+
+    # gaussian q_sample with shared noise
+    b, t_len = 2, 10
+    x = rng.standard_normal((b, t_len, 1)).astype(np.float32)
+    noise = rng.standard_normal((b, t_len, 1)).astype(np.float32)
+    t = np.array([3, 12])
+    ours = diff.gaussian_q_sample(sched, jnp.asarray(x), jnp.asarray(t),
+                                  jnp.asarray(noise))
+    theirs = ref.gaussian_q_sample(_t(x), _t(t), _t(noise)).numpy()
+    _close(ours, theirs, atol=1e-5)
+
+    # categorical q_pred / q_posterior in log space
+    uv = rng.integers(0, 2, (b, t_len))
+    log_uv = diff.index_to_log_onehot(jnp.asarray(uv), 2)
+    log_uv_ref = ref.index_to_log_onehot(_t(uv), ref.num_classes) \
+        if hasattr(ref, "index_to_log_onehot") else None
+    q_ours = diff.cat_q_pred(sched, log_uv, jnp.asarray(t), 2)
+    q_theirs = ref.q_pred(_t(np.asarray(log_uv)), _t(t)).numpy()
+    _close(q_ours, q_theirs, atol=1e-4, rtol=1e-3)
+
+    log_xt = diff.log_sample_categorical(
+        jax.random.PRNGKey(0), q_ours, 2)
+    post_ours = diff.cat_q_posterior(sched, log_uv, log_xt,
+                                     jnp.asarray(t), 2)
+    post_theirs = ref.q_posterior(
+        _t(np.asarray(log_uv)), _t(np.asarray(log_xt)), _t(t)).numpy()
+    _close(post_ours, post_theirs, atol=1e-4, rtol=1e-3)
+
+
+def test_shallow_schedule_parity(hp):
+    """Mel-diffusion schedule matches the reference DiffusionDecoder
+    buffers (shallow_diffusion_tts.py:68-122)."""
+    from modules.diff.net import DiffNet as RefDN
+    from modules.diff.shallow_diffusion_tts import (
+        GaussianDiffusion as RefGD,
+    )
+
+    from stylesinger_tpu.models import diffusion as diff
+
+    hp.update(audio_num_mel_bins=16, max_beta=0.06, schedule_type="linear")
+    ref = RefGD(phone_encoder=None, out_dims=16, denoise_fn=RefDN(16),
+                timesteps=16, K_step=16, loss_type="l1",
+                spec_min=[-6.0] * 16, spec_max=[0.0] * 16).eval()
+    sched = diff.make_schedule(16, 0.06, "linear")
+    _close(sched.alphas_cumprod, ref.alphas_cumprod.float().numpy(),
+           atol=1e-6)
+    _close(sched.posterior_mean_coef2,
+           ref.posterior_mean_coef2.float().numpy(), atol=1e-6)
