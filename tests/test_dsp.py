@@ -210,3 +210,26 @@ def test_cwt_shapes_and_inverse():
 def test_cwt_all_unvoiced():
     uv, lf0 = cont_lf0_np(np.zeros(32))
     assert uv.all()
+
+
+def test_autocorr_pitch_vibrato_tracking():
+    """Singing-specific: a 6 Hz vibrato around 300 Hz must be tracked
+    through its extremes (the tracker's Viterbi must not flatten it)."""
+    sr, hop = 24000, 128
+    t = np.arange(int(sr * 0.8)) / sr
+    f0_true = 300.0 * 2 ** (0.5 / 12 * np.sin(2 * np.pi * 6.0 * t))
+    phase = 2 * np.pi * np.cumsum(f0_true) / sr
+    wav = np.sin(phase).astype(np.float32)
+    f0 = np.asarray(autocorr_pitch(
+        jnp.asarray(wav), hop_size=hop, sample_rate=sr))
+    mid = f0[10:-10]
+    voiced = mid[mid > 0]
+    assert len(voiced) > 0.9 * len(mid)
+    # tracked range must span most of the true vibrato depth
+    true_mid = f0_true[10 * hop: -10 * hop]
+    assert voiced.max() > true_mid.max() * 0.985
+    assert voiced.min() < true_mid.min() * 1.015
+    # frame-level error small
+    centers = (np.arange(len(f0)) * hop + hop // 2).clip(0, len(t) - 1)
+    err = np.abs(f0[10:-10] - f0_true[centers][10:-10]) / f0_true[centers][10:-10]
+    assert np.median(err[mid > 0]) < 0.02
