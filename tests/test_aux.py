@@ -3,6 +3,7 @@ vocoder registry, GE2E encoders."""
 
 import jax
 import jax.numpy as jnp
+import os
 import numpy as np
 import pytest
 
@@ -334,3 +335,24 @@ def test_pwg_and_melgan_generators(tiny_cfg):
     wav = mg.apply(v, mel)
     assert wav.shape == (1, 12 * 64)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_evaluate_gen_dir(tmp_path, rng):
+    from stylesinger_tpu.dsp.mel import save_wav
+    from stylesinger_tpu.eval.evaluate_gen import evaluate_dir
+
+    sr = 24000
+    os.makedirs(tmp_path / "wavs", exist_ok=True)
+    t = np.arange(sr) / sr
+    gt = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    pred = (0.3 * np.sin(2 * np.pi * 231 * t)).astype(np.float32)  # +5%
+    save_wav(gt, str(tmp_path / "wavs" / "item_0000_gt.wav"), sr)
+    save_wav(pred, str(tmp_path / "wavs" / "item_0000.wav"), sr)
+    out = evaluate_dir(str(tmp_path), sr=sr,
+                       cfg=dict(audio_sample_rate=sr, fft_size=512,
+                                hop_size=128, win_size=512,
+                                audio_num_mel_bins=40, fmin=20, fmax=12000))
+    assert out["n"] == 1
+    assert out["mcd_mean"] > 0
+    assert 0 <= out["ffe_mean"] <= 1
+    assert os.path.exists(tmp_path / "metrics.json")
