@@ -137,3 +137,53 @@ def test_infer_batch_and_streaming_vocoder(tmp_path, rng):
                                  overlap_frames=8)
     assert wav.shape == (200 * 64,)
     assert np.isfinite(wav).all()
+
+
+def test_cli_end_to_end(tmp_path, rng, monkeypatch):
+    """The full user journey through run.py: binarize -> train (2 steps,
+    with validation + checkpoint) -> test-split synthesis."""
+    import sys
+
+    from stylesinger_tpu import run as cli
+
+    _write_corpus(tmp_path, rng, n=4)
+    overrides = ",".join([
+        "audio_sample_rate=24000", "fft_size=512", "win_size=512",
+        "hop_size=128", "fmax=12000", "max_frames=256",
+        f"processed_data_dir={tmp_path}/processed",
+        f"binary_data_dir={tmp_path}/binary",
+        "test_prefixes=[\"test_\"]", "valid_prefixes=[\"test_\"]",
+        "max_updates=2", "val_check_interval=2", "tb_log_interval=1",
+        "valid_infer_interval=1000000", "max_tokens=600",
+        "max_sentences=4",
+        # tiny dims (mirror tiny_test_config)
+        "hidden_size=32", "enc_layers=1", "dec_layers=1",
+        "enc_ffn_kernel_size=3", "dec_ffn_kernel_size=3",
+        "predictor_layers=2", "f0_residual_layers=1",
+        "f0_residual_channels=16", "residual_layers=1",
+        "residual_channels=16", "timesteps=4", "K_step=4",
+        "f0_timesteps=4", "f0_K_step=4", "nRQ=8", "rq_depth=2",
+        "aligner_layers=1", "aligner_ffn_dim=32", "style_wn_layers=2",
+        "style_conv_dilations=[1]", "audio_num_mel_bins=16",
+        "keep_bins=16", "emo_size=16", "spk_embed_size=16",
+        "warmup_updates=10", "frame_buckets=[128,256]",
+        "token_buckets=[8,16]",
+    ])
+    monkeypatch.setattr(sys, "argv", [
+        "run", "binarize", "--hparams", overrides])
+    cli.main()
+    assert os.path.exists(tmp_path / "binary" / "train.data")
+
+    monkeypatch.setattr(sys, "argv", [
+        "run", "train", "--exp_name", "tiny", "--hparams", overrides,
+        "--work_dir_root", str(tmp_path / "ckpts")])
+    cli.main()
+    work = tmp_path / "ckpts" / "tiny"
+    assert os.path.exists(work / "metrics.jsonl")
+    assert os.path.exists(work / "config.yaml")
+    lines = [l for l in open(work / "metrics.jsonl")]
+    assert len(lines) >= 2
+    import json as _json
+    rows = [_json.loads(l) for l in lines]
+    assert any(r["prefix"] == "valid" for r in rows)
+    assert all(np.isfinite(r.get("total_loss", 0.0)) for r in rows)
