@@ -266,3 +266,43 @@ def test_sharded_batched_inference(tiny_cfg, rng):
     mel, f0 = serve(variables, sb, jax.random.PRNGKey(0))
     assert mel.shape == (8, 64, cfg["audio_num_mel_bins"])
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_train_step_on_2d_mesh(tiny_cfg, rng):
+    """('data','model') 2D mesh (4x2): the tp-ready layout compiles and
+    steps with the model axis present."""
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _synthetic_batch(cfg, rng, n=4)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    sbatch = shard_batch(batch, mesh)
+    state = init_state(model, cfg, batch)
+    step_fn = make_train_step(model, cfg)
+    state, m = step_fn(state, sbatch, jax.random.PRNGKey(0),
+                       Phase(True, False, True))
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_grad_accumulation(tiny_cfg, rng):
+    """optax.MultiSteps path (reference accumulate_grad_batches)."""
+    cfg = dict(tiny_cfg)
+    cfg.update(max_frames=64, accumulate_grad_batches=2)
+    model = StyleSinger(cfg, VOCAB)
+    batch = _synthetic_batch(cfg, rng, n=2)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if k != "nsamples"}
+    state = init_state(model, cfg, batch)
+    leaf0 = np.asarray(jax.tree_util.tree_leaves(state.params)[-1]).copy()
+    step_fn = make_train_step(model, cfg)
+    phase = Phase(True, False, True)
+    # first micro-step: accumulate only, params unchanged
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0), phase)
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(state.params)[-1])
+    np.testing.assert_array_equal(leaf0, leaf1)
+    # second micro-step: apply
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0), phase)
+    leaf2 = np.asarray(jax.tree_util.tree_leaves(state.params)[-1])
+    assert not np.allclose(leaf0, leaf2)
