@@ -52,3 +52,23 @@ def expand_states(h: jnp.ndarray, mel2ph: jnp.ndarray) -> jnp.ndarray:
     """
     h = jnp.pad(h, ((0, 0), (1, 0), (0, 0)))
     return jnp.take_along_axis(h, mel2ph[..., None], axis=1)
+
+
+def group_hidden_by_segs(h: jnp.ndarray, seg_ids: jnp.ndarray,
+                         max_len: int):
+    """Segment-mean of frame hiddens by 1-based segment ids.
+
+    Parity target: ``group_hidden_by_segs`` (``utils/tts_utils.py:357-371``
+    in AaronZ345/StyleSinger): scatter-add frames into per-segment sums,
+    divide by counts.  h: [B, T, H], seg_ids: [B, T] -> ([B, max_len, H],
+    counts [B, max_len]).
+    """
+    b, t, hid = h.shape
+
+    def one(hb, sb):
+        sums = jnp.zeros((max_len + 1, hid), h.dtype).at[sb].add(hb)
+        cnt = jnp.zeros((max_len + 1,), h.dtype).at[sb].add(1.0)
+        return sums[1:], cnt[1:]
+
+    sums, cnt = jax.vmap(one)(h, seg_ids)
+    return sums / jnp.maximum(cnt[..., None], 1.0), cnt

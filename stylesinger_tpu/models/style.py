@@ -146,19 +146,32 @@ class LocalStyleAdaptor(nn.Module):
     @nn.compact
     def __call__(self, ref_mels: jnp.ndarray,
                  ref_f0: Optional[jnp.ndarray] = None,
+                 mel2ph: Optional[jnp.ndarray] = None,
                  use_rq: bool = True, train: bool = False,
                  rng: Optional[jax.Array] = None,
                  deterministic: bool = True):
-        """ref_mels: [B, T, 80]; ref_f0: [B, T] (normed, interpolated).
+        """ref_mels: [B, T, 80]; ref_f0: [B, T] (normed, interpolated);
+        mel2ph (optional): pool the style to phone level before encoding
+        (the reference's ``group_hidden_by_segs`` branch, lse.py:112-119).
 
-        Returns (style [B, T, H], rq_loss scalar or None, codes or None).
+        Returns (style [B, T(or T_ph), H], rq_loss scalar or None,
+        codes or None).
         """
         nonpadding = (jnp.abs(ref_mels[:, :, 0]) > 1e-8).astype(jnp.float32)
         h = WN(hidden_channels=self.mel_bins, kernel_size=3, dilation_rate=1,
                n_layers=self.wn_layers,
                name="wavenet")(ref_mels, nonpadding,
                                deterministic=deterministic)
-        if ref_f0 is not None:
+        if mel2ph is not None:
+            from stylesinger_tpu.dsp.align import group_hidden_by_segs
+            t_ph = int(mel2ph.shape[1])  # static upper bound on segments
+            h, cnt = group_hidden_by_segs(h, mel2ph, t_ph)
+            if ref_f0 is not None:
+                f0_ph, _ = group_hidden_by_segs(
+                    ref_f0[..., None], mel2ph, t_ph)
+                h = h + f0_ph
+            nonpadding = (cnt > 0).astype(jnp.float32)
+        elif ref_f0 is not None:
             # broadcast the scalar f0 track over all mel channels (the
             # reference repeats it to 80 channels and adds)
             h = h + ref_f0[..., None]

@@ -328,3 +328,30 @@ def test_legacy_denoisers(tiny_cfg):
     v2 = m2.init(KEY, uv, step, cond, nonpadding)
     out2 = m2.apply(v2, uv, step, cond, nonpadding)
     assert out2.shape == (b, t, 2)
+
+
+def test_group_hidden_by_segs():
+    from stylesinger_tpu.dsp.align import group_hidden_by_segs
+    h = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 6, 2))
+    segs = jnp.asarray([[1, 1, 2, 2, 2, 0]])
+    pooled, cnt = group_hidden_by_segs(h, segs, 3)
+    np.testing.assert_allclose(np.asarray(pooled[0, 0]), [1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(pooled[0, 1]), [6.0, 7.0])
+    np.testing.assert_allclose(np.asarray(cnt[0]), [2, 3, 0])
+
+
+def test_local_style_adaptor_phone_level(tiny_cfg):
+    from stylesinger_tpu.models.style import LocalStyleAdaptor
+    b, t, h = 2, 16, 32
+    m = LocalStyleAdaptor(h, n_codes=8, rq_depth=2)
+    mels = jax.random.normal(KEY, (b, t, 80)) * 0.1 + 1.0
+    f0 = jax.random.uniform(KEY, (b, t), minval=7.0, maxval=9.0)
+    mel2ph = jnp.asarray(np.minimum(np.arange(t)[None].repeat(b, 0) // 4 + 1,
+                                    4).astype(np.int32))
+    variables = m.init(ALL_RNGS, mels, f0, mel2ph=mel2ph, use_rq=True)
+    style, rq_loss, codes = m.apply(variables, mels, f0, mel2ph=mel2ph,
+                                    use_rq=True)
+    # pooled to the static phone-axis bound (= mel2ph.shape[1])
+    assert style.shape == (b, t, h)
+    assert np.isfinite(np.asarray(style)).all()
+    assert float(rq_loss) >= 0
