@@ -22,13 +22,22 @@ import numpy as np
 def main() -> None:
     import jax
 
+    # persistent compile cache: repeated bench runs skip the ~15 min
+    # full-model compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from stylesinger_tpu.config import load_config
     from stylesinger_tpu.models.hifigan import HifiGanGenerator
     from stylesinger_tpu.models.stylesinger import StyleSinger
 
     vocab = 64
     frames = 1024                     # ~5.5 s of 48 kHz audio at hop 256
-    cfg = load_config(max_frames=frames, max_input_tokens=128)
+    cfg = load_config(max_frames=frames, max_input_tokens=128,
+                      vocoder_compute_dtype="bfloat16")
     hop = cfg["hop_size"]
     sr = cfg["audio_sample_rate"]
 

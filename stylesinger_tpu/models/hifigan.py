@@ -22,6 +22,15 @@ TPU-native design notes:
   (equivalent to the reference's ``remove_weight_norm()`` inference form;
   for GAN training, spectral conditioning comes from the discriminator).
 - Everything is [B, T, C]; the channel dim stays lane-aligned for the VPU.
+- **Blocked MRF (overlap-save)**: XLA's conv tiling degrades badly on one
+  giant spatial dim with few channels (measured 7 TF/s at [1, 262144, 32]
+  vs 66 TF/s at [128, 2048, 32] on v5e). Each stage's MRF group therefore
+  runs over independent time blocks with a halo equal to the MRF receptive
+  radius; edge masking re-creates the per-conv SAME zero padding exactly,
+  so outputs match the monolithic form bit-for-bit in structure (only
+  float reassociation differs). ~3x whole-vocoder speedup.
+- ``compute_dtype: bfloat16`` threads bf16 through every conv (params stay
+  fp32); sine-phase math remains fp32 for phase precision.
 """
 
 from __future__ import annotations
@@ -107,25 +116,42 @@ class SourceModuleHnNSF(nn.Module):
 # Generator
 # ---------------------------------------------------------------------------
 
+def _mask_mul(y: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    return y if mask is None else y * mask
+
+
 class ResBlock1(nn.Module):
     """MRF residual block: 3 x [lrelu -> dilated conv -> lrelu -> conv d=1]
-    (reference hifigan_nsf.py:30-67)."""
+    (reference hifigan_nsf.py:30-67).
+
+    ``mask`` (overlap-save blocking) zeroes conv inputs outside the true
+    signal range so blocked application reproduces monolithic SAME padding.
+    """
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i, dil in enumerate(self.dilations):
-            y = _lrelu(x)
+            y = _mask_mul(_lrelu(x), mask)
             y = nn.Conv(self.channels, (self.kernel_size,),
                         kernel_dilation=(dil,), padding="SAME",
-                        kernel_init=_conv_init, name=f"conv1_{i}")(y)
-            y = _lrelu(y)
+                        kernel_init=_conv_init, dtype=self.dtype,
+                        name=f"conv1_{i}")(y)
+            y = _mask_mul(_lrelu(y), mask)
             y = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
-                        kernel_init=_conv_init, name=f"conv2_{i}")(y)
+                        kernel_init=_conv_init, dtype=self.dtype,
+                        name=f"conv2_{i}")(y)
             x = x + y
         return x
+
+    @staticmethod
+    def halo(kernel_size: int, dilations: Sequence[int]) -> int:
+        # per dilation: dilated conv + plain conv
+        return (kernel_size - 1) // 2 * sum(d + 1 for d in dilations)
 
 
 class ResBlock2(nn.Module):
@@ -133,16 +159,51 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i, dil in enumerate(self.dilations):
-            y = _lrelu(x)
+            y = _mask_mul(_lrelu(x), mask)
             y = nn.Conv(self.channels, (self.kernel_size,),
                         kernel_dilation=(dil,), padding="SAME",
-                        kernel_init=_conv_init, name=f"conv_{i}")(y)
+                        kernel_init=_conv_init, dtype=self.dtype,
+                        name=f"conv_{i}")(y)
             x = x + y
         return x
+
+    @staticmethod
+    def halo(kernel_size: int, dilations: Sequence[int]) -> int:
+        return (kernel_size - 1) // 2 * sum(dilations)
+
+
+def _blockify(x: jnp.ndarray, block: int, halo: int
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """[B, T, C] -> ([B*nb, block+2*halo, C], valid-mask, T).
+
+    Overlap-save windows: each block carries ``halo`` context samples on
+    both sides; the mask marks positions inside the true [0, T) range (the
+    rest must be treated as SAME zero padding by the wrapped convs).
+    """
+    b, t, c = x.shape
+    nb = -(-t // block)
+    xp = jnp.pad(x, ((0, 0), (halo, nb * block - t + halo), (0, 0)))
+    idx = (jnp.arange(nb)[:, None] * block
+           + jnp.arange(block + 2 * halo)[None, :])  # into xp's time axis
+    xb = jnp.take(xp, idx, axis=1)  # [B, nb, block+2h, C]
+    xb = xb.reshape(b * nb, block + 2 * halo, c)
+    valid = (idx >= halo) & (idx < halo + t)
+    mask = jnp.tile(valid.astype(x.dtype), (b, 1))[..., None]
+    return xb, mask, t
+
+
+def _unblockify(yb: jnp.ndarray, b: int, block: int, halo: int,
+                t: int) -> jnp.ndarray:
+    """Inverse of :func:`_blockify`: crop halos, restore [B, T, C]."""
+    bn, _, c = yb.shape
+    y = yb[:, halo:halo + block, :].reshape(b, (bn // b) * block, c)
+    return y[:, :t]
 
 
 class HifiGanGenerator(nn.Module):
@@ -164,6 +225,10 @@ class HifiGanGenerator(nn.Module):
         use_nsf = c.get("use_nsf", True) and f0 is not None
         resblock_cls = ResBlock1 if str(c.get("resblock", "1")) == "1" else \
             ResBlock2
+        dtype = jnp.dtype(c.get("vocoder_compute_dtype", "float32"))
+        # overlap-save block length for the MRF groups (0 disables)
+        mrf_block = int(c.get("mrf_block", 2048))
+        mrf_halo = max(resblock_cls.halo(k, d) for k, d in zip(rk, rd))
 
         har_source = None
         if use_nsf:
@@ -174,8 +239,10 @@ class HifiGanGenerator(nn.Module):
                 harmonic_num=c.get("harmonic_num", 8),
                 hop_size=total_up, name="m_source")(
                 f0_up, deterministic=deterministic)
+            har_source = har_source.astype(dtype)
 
-        x = nn.Conv(ch0, (7,), padding="SAME", name="conv_pre")(mel)
+        x = nn.Conv(ch0, (7,), padding="SAME", dtype=dtype,
+                    name="conv_pre")(mel.astype(dtype))
         for i, (u, k) in enumerate(zip(rates, kernels)):
             c_cur = ch0 // (2 ** (i + 1))
             x = _lrelu(x)
@@ -186,7 +253,7 @@ class HifiGanGenerator(nn.Module):
             pad = k - 1 - (k - u) // 2
             x = nn.ConvTranspose(
                 c_cur, (k,), strides=(u,), padding=((pad, pad),),
-                transpose_kernel=True, kernel_init=_conv_init,
+                transpose_kernel=True, kernel_init=_conv_init, dtype=dtype,
                 name=f"up_{i}")(x)
             # ConvTranspose 'padding' in flax crops differently than torch;
             # enforce exact T*u length
@@ -200,24 +267,38 @@ class HifiGanGenerator(nn.Module):
                     src = nn.Conv(c_cur, (stride_f0 * 2,),
                                   strides=(stride_f0,),
                                   padding=((stride_f0 // 2,) * 2,),
+                                  dtype=dtype,
                                   name=f"noise_conv_{i}")(har_source)
                     src = src[:, : x.shape[1]]
                 else:
-                    src = nn.Conv(c_cur, (1,),
+                    src = nn.Conv(c_cur, (1,), dtype=dtype,
                                   name=f"noise_conv_{i}")(har_source)
                 x = x + src
-            acc = None
-            for j, (rkj, rdj) in enumerate(zip(rk, rd)):
-                y = resblock_cls(c_cur, rkj, rdj,
-                                 name=f"resblock_{i}_{j}")(x)
-                acc = y if acc is None else acc + y
-            x = acc / len(rk)
+
+            blocks = [resblock_cls(c_cur, rkj, rdj, dtype=dtype,
+                                   name=f"resblock_{i}_{j}")
+                      for j, (rkj, rdj) in enumerate(zip(rk, rd))]
+
+            def mrf(xb, mask=None, _blocks=blocks):
+                acc = None
+                for blk in _blocks:
+                    y = blk(xb, mask)
+                    acc = y if acc is None else acc + y
+                return acc / len(_blocks)
+
+            if mrf_block and x.shape[1] >= 2 * mrf_block:
+                bsz = x.shape[0]
+                xb, mask, t_true = _blockify(x, mrf_block, mrf_halo)
+                x = _unblockify(mrf(xb, mask), bsz, mrf_block, mrf_halo,
+                                t_true)
+            else:
+                x = mrf(x)
         # final activation uses torch's default slope 0.01, not 0.1
         # (reference hifigan_nsf.py:165 F.leaky_relu without slope arg)
         x = jax.nn.leaky_relu(x, 0.01)
         x = nn.Conv(self.c_out, (7,), padding="SAME", kernel_init=_conv_init,
-                    name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+                    dtype=dtype, name="conv_post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 # ---------------------------------------------------------------------------

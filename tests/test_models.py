@@ -219,6 +219,24 @@ def test_hifigan_generator(tiny_cfg):
     assert np.abs(np.asarray(wav)).max() <= 1.0
 
 
+def test_hifigan_blocked_mrf_matches_monolithic(tiny_cfg):
+    """Overlap-save MRF blocking must reproduce the monolithic generator
+    exactly (same params, only float reassociation differs)."""
+    cfg = dict(tiny_cfg)
+    cfg.update(upsample_rates=(4, 4, 2, 2), upsample_kernel_sizes=(8, 8, 4, 4),
+               upsample_initial_channel=64, mrf_block=0)
+    mel = jax.random.normal(KEY, (2, 64, 80))
+    f0 = jnp.full((2, 64), 220.0)
+    mono = HifiGanGenerator(cfg)
+    variables = mono.init(ALL_RNGS, mel, f0)
+    w_mono = mono.apply(variables, mel, f0, rngs={"noise": KEY})
+    cfg_b = dict(cfg, mrf_block=128)  # triggers on the last three stages
+    w_blk = HifiGanGenerator(cfg_b).apply(variables, mel, f0,
+                                          rngs={"noise": KEY})
+    np.testing.assert_allclose(np.asarray(w_blk), np.asarray(w_mono),
+                               atol=3e-5)
+
+
 def test_discriminators(tiny_cfg):
     wav = jax.random.normal(KEY, (2, 1024)) * 0.1
     mpd = MultiPeriodDiscriminator()
