@@ -39,6 +39,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache shared with bench.py
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from stylesinger_tpu.config import load_config
     from stylesinger_tpu.dsp.cwt import cwt_mexican_hat
     from stylesinger_tpu.dsp.mel import load_wav
@@ -47,7 +54,8 @@ def main() -> None:
     from stylesinger_tpu.models.hifigan import HifiGanGenerator
     from stylesinger_tpu.ops import mel_spectrogram
 
-    cfg = load_config(max_frames=1024, max_input_tokens=128)
+    cfg = load_config(max_frames=1024, max_input_tokens=128,
+                      vocoder_compute_dtype="bfloat16")
     sr, hop = cfg["audio_sample_rate"], cfg["hop_size"]
     results = []
 
@@ -99,6 +107,8 @@ def main() -> None:
     import bench as headline
     # config 4 prints its own line via bench.main()
     headline.main()
+    # config 5: batched serving throughput, per-utterance RTF
+    headline.main(batch=8, metric="e2e_rtf_batch8_per_utt")
 
     for r in results:
         print(json.dumps(r))

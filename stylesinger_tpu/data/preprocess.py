@@ -43,6 +43,19 @@ def _norm_volume(wav: np.ndarray, sr: int, target_dbfs: float = -30.0
     return np.clip(wav * gain, -1.0, 1.0)
 
 
+@register_wav_processor("denoise")
+def _denoise(wav: np.ndarray, sr: int, strength: float = 0.01) -> np.ndarray:
+    """Spectral noise-floor suppression for raw recordings (stands in for
+    the reference's external rnnoise/sox denoise hook,
+    data_gen/tts/wav_processors/common_processors.py)."""
+    from stylesinger_tpu.dsp.denoise import denoise as _spectral_denoise
+    import jax.numpy as jnp
+    n = len(wav)
+    padded = np.pad(np.asarray(wav, np.float32), (0, 1024))
+    out = _spectral_denoise(jnp.asarray(padded), strength)
+    return np.asarray(out[:n], np.float32)
+
+
 class Preprocessor:
     def __init__(self, cfg: Any, language: str = "zh"):
         self.cfg = cfg

@@ -1,0 +1,103 @@
+"""Tests for the small utility layers: multiprocess runner, wav-processor
+registry, and the ESPnet relative-position encoder option."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stylesinger_tpu.data.preprocess import REGISTERED_WAV_PROCESSORS
+from stylesinger_tpu.utils.multiprocess import multiprocess_run
+
+KEY = jax.random.PRNGKey(0)
+
+
+# -------------------------------------------------------- multiprocess
+
+def _square(x):
+    return x * x
+
+
+def _boom(x):
+    raise RuntimeError("boom")
+
+
+def test_multiprocess_run_inprocess_order():
+    out = list(multiprocess_run(_square, [(i,) for i in range(6)],
+                                num_workers=1))
+    assert out == [(i, i * i) for i in range(6)]
+
+
+def test_multiprocess_run_pool_order():
+    out = list(multiprocess_run(_square, [(i,) for i in range(8)],
+                                num_workers=2))
+    assert out == [(i, i * i) for i in range(8)]
+
+
+def test_multiprocess_run_error_yields_none():
+    out = list(multiprocess_run(_boom, [(1,)], num_workers=1))
+    assert out == [(0, None)]
+
+
+# ------------------------------------------------------ wav processors
+
+def test_wav_processor_registry_names():
+    for name in ("trim_sil", "norm_volume", "denoise"):
+        assert name in REGISTERED_WAV_PROCESSORS, name
+
+
+def test_norm_volume_hits_target():
+    sr = 24000
+    wav = 0.01 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+    out = REGISTERED_WAV_PROCESSORS["norm_volume"](wav, sr)
+    rms_dbfs = 20 * np.log10(np.sqrt((out ** 2).mean()))
+    assert abs(rms_dbfs - (-30.0)) < 0.5
+
+
+def test_trim_sil_removes_padding():
+    sr = 24000
+    tone = 0.3 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+    wav = np.concatenate([np.zeros(sr), tone, np.zeros(sr)]).astype(
+        np.float32)
+    out = REGISTERED_WAV_PROCESSORS["trim_sil"](wav, sr)
+    assert len(out) < len(wav) * 0.6
+
+
+def test_denoise_processor_reduces_noise_floor():
+    sr = 24000
+    rng = np.random.default_rng(0)
+    tone = 0.3 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+    noisy = (tone + 0.005 * rng.standard_normal(sr)).astype(np.float32)
+    out = REGISTERED_WAV_PROCESSORS["denoise"](noisy, sr)
+    assert out.shape == noisy.shape
+    # residual vs the clean tone should shrink
+    n = min(len(out), len(tone))
+    before = float(((noisy[:n] - tone[:n]) ** 2).mean())
+    after = float(((out[:n] - tone[:n]) ** 2).mean())
+    assert after < before
+
+
+# ------------------------------------------------------------- rel_pos
+
+def test_encoder_rel_pos_variant(tiny_cfg):
+    """`rel_pos: true` swaps in the ESPnet relative-position table
+    (reference modules/commons/espnet_positional_embedding.py) — the
+    encoder must still run and produce a different embedding than the
+    default sinusoidal path."""
+    from stylesinger_tpu.models.common import FastspeechEncoder
+    vocab, b, t = 16, 2, 12
+    tokens = jax.random.randint(KEY, (b, t), 1, vocab)
+    h = tiny_cfg["hidden_size"]
+    outs = {}
+    for rel in (False, True):
+        enc = FastspeechEncoder(
+            vocab_size=vocab, hidden_size=h,
+            num_layers=tiny_cfg["enc_layers"],
+            kernel_size=tiny_cfg["enc_ffn_kernel_size"],
+            num_heads=tiny_cfg["num_heads"], rel_pos=rel)
+        v = enc.init({"params": KEY, "dropout": KEY}, tokens,
+                     deterministic=True)
+        outs[rel] = np.asarray(
+            enc.apply(v, tokens, deterministic=True))
+        assert outs[rel].shape == (b, t, h)
+        assert np.isfinite(outs[rel]).all()
+    assert np.abs(outs[True] - outs[False]).max() > 1e-4
