@@ -19,9 +19,10 @@ import time
 import numpy as np
 
 
-def main(batch: int = 1, metric: str = "e2e_rtf") -> None:
+def main(batch: int = 1, metric: str = "e2e_rtf", **cfg_overrides) -> None:
     """Zero-shot transfer RTF at ``batch`` concurrent utterances (batch>1 =
-    BASELINE config 5 serving throughput; reported per utterance)."""
+    BASELINE config 5 serving throughput; reported per utterance).
+    ``cfg_overrides`` are forwarded to load_config (e.g. pndm_speedup=5)."""
     import jax
 
     # persistent compile cache: repeated bench runs skip the ~15 min
@@ -39,7 +40,7 @@ def main(batch: int = 1, metric: str = "e2e_rtf") -> None:
     vocab = 64
     frames = 1024                     # ~5.5 s of 48 kHz audio at hop 256
     cfg = load_config(max_frames=frames, max_input_tokens=128,
-                      vocoder_compute_dtype="bfloat16")
+                      vocoder_compute_dtype="bfloat16", **cfg_overrides)
     hop = cfg["hop_size"]
     sr = cfg["audio_sample_rate"]
 

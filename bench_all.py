@@ -109,6 +109,9 @@ def main() -> None:
     headline.main()
     # config 5: batched serving throughput, per-utterance RTF
     headline.main(batch=8, metric="e2e_rtf_batch8_per_utt")
+    # config 4 variant: PLMS fast sampler on the mel stage (the reference
+    # ships the same pndm_speedup switch in its GaussianDiffusion base)
+    headline.main(metric="e2e_rtf_plms5", pndm_speedup=5)
 
     for r in results:
         print(json.dumps(r))
