@@ -30,31 +30,55 @@ import numpy as np
 # used by the reference's modules/commons/ssim.py)
 # ---------------------------------------------------------------------------
 
-def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2.0 * sigma ** 2))
-    g = (g / g.sum()).astype(np.float32)
+    return (g / g.sum()).astype(np.float32)
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = _gaussian_1d(size, sigma)
     return np.outer(g, g)
 
 
-def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2D conv with SAME padding; img [B, H, W]."""
-    k = kernel[:, :, None, None]  # HWIO
-    out = jax.lax.conv_general_dilated(
-        img[:, None], jnp.asarray(k), (1, 1), "SAME",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"))
-    return out[:, 0]
+def _blur1d(x: jnp.ndarray, g: np.ndarray, axis: int) -> jnp.ndarray:
+    """SAME-padded 1D gaussian blur along ``axis`` as shifted adds."""
+    k = len(g)
+    half = k // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (half, half)
+    xp = jnp.pad(x, pad)
+    out = None
+    for i in range(k):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + x.shape[axis])
+        term = float(g[i]) * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def _filter2d(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Gaussian-window filter of [B, H, W] images with SAME zero padding.
+
+    The 11x11 window is an outer product of 1D gaussians, so the filter is
+    applied separably as shifted multiply-adds. A depthwise 2D conv here
+    (the torch formulation) is catastrophic on TPU: with 1 feature channel
+    it uses 1/128 of the MXU lanes and measured 4-17 ms per call on v5e —
+    ~2/3 of the whole train step. The separable form is exact (same outer
+    product, same zero padding) and fuses to a handful of VPU passes.
+    """
+    g = _gaussian_1d(window_size)
+    return _blur1d(_blur1d(img, g, 1), g, 2)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
          window_size: int = 11) -> jnp.ndarray:
     """Per-pixel SSIM map of [B, T, M] images (values in [0, ~bias+max])."""
-    kernel = jnp.asarray(_gaussian_kernel(window_size))
-    mu1 = _filter2d(img1, kernel)
-    mu2 = _filter2d(img2, kernel)
+    mu1 = _filter2d(img1, window_size)
+    mu2 = _filter2d(img2, window_size)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _filter2d(img1 * img1, kernel) - mu1_sq
-    sigma2_sq = _filter2d(img2 * img2, kernel) - mu2_sq
-    sigma12 = _filter2d(img1 * img2, kernel) - mu12
+    sigma1_sq = _filter2d(img1 * img1, window_size) - mu1_sq
+    sigma2_sq = _filter2d(img2 * img2, window_size) - mu2_sq
+    sigma12 = _filter2d(img1 * img2, window_size) - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / \
         ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

@@ -25,6 +25,19 @@ def test_ssim_identity():
     assert s.mean() > 0.99
 
 
+def test_ssim_separable_filter_matches_conv2d():
+    """The shifted-add separable gaussian filter (TPU-friendly) must equal
+    the dense 11x11 depthwise conv2d of the torch formulation."""
+    from stylesinger_tpu.training.losses import _filter2d, _gaussian_kernel
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 40, 80))
+    kern = jnp.asarray(_gaussian_kernel())
+    dense = jax.lax.conv_general_dilated(
+        x[:, None], kern[:, :, None, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"))[:, 0]
+    np.testing.assert_allclose(np.asarray(_filter2d(x)), np.asarray(dense),
+                               atol=1e-5)
+
+
 def test_mel_losses_zero_for_equal():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 80))
     out = mel_losses(x, x, "l1:0.5|ssim:0.5")
