@@ -76,6 +76,20 @@ def test_denoise_processor_reduces_noise_floor():
     assert after < before
 
 
+# ----------------------------------------------------------- profiling
+
+def test_profile_step_returns_op_table(tmp_path):
+    from stylesinger_tpu.utils.profiling import format_table, profile_step
+    f = jax.jit(lambda x: jnp.tanh(x @ x.T).sum())
+    x = jnp.ones((128, 128))
+    float(f(x))  # compile outside the trace
+    rows = profile_step(lambda: f(x), iters=2, trace_dir=str(tmp_path))
+    assert rows, "no ops parsed from the trace"
+    assert {"name", "total_us", "count", "per_iter_us"} <= set(rows[0])
+    table = format_table(rows, top=3)
+    assert "ms" in table
+
+
 # ------------------------------------------------------------- rel_pos
 
 def test_encoder_rel_pos_variant(tiny_cfg):
