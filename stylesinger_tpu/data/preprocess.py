@@ -89,3 +89,36 @@ class Preprocessor:
                   ensure_ascii=False)
         print(f"| preprocess: {len(rows)} items, {len(phones)} phones")
         return rows
+
+    def build_mfa_inputs(self, rows: List[Dict],
+                         out_dir: Optional[str] = None) -> str:
+        """Lay out a Montreal-Forced-Aligner corpus from processed rows
+        (reference ``BasePreprocessor.build_mfa_inputs``,
+        data_gen/tts/base_preprocess.py + ``train_mfa_align.py``):
+        ``mfa_inputs/<group>/<item>.{wav,lab}`` with space-joined phones as
+        the transcript, plus ``mfa_dict.txt`` mapping each phone to itself.
+        MFA's TextGrid output then feeds ``dsp/textgrid_align.py``."""
+        import shutil
+
+        out_dir = out_dir or self.cfg["processed_data_dir"]
+        mfa_dir = os.path.join(out_dir, "mfa_inputs")
+        os.makedirs(mfa_dir, exist_ok=True)
+        phones = set()
+        for row in rows:
+            group = str(row.get("singer", row.get("spk_name", "spk0")))
+            gdir = os.path.join(mfa_dir, group)
+            os.makedirs(gdir, exist_ok=True)
+            name = row["item_name"]
+            ph = row["ph"] if isinstance(row["ph"], list) else \
+                row["ph"].split(" ")
+            phones.update(ph)
+            with open(os.path.join(gdir, f"{name}.lab"), "w") as f:
+                f.write(" ".join(ph))
+            if row.get("wav_fn") and os.path.exists(row["wav_fn"]):
+                dst = os.path.join(gdir, f"{name}.wav")
+                if os.path.abspath(row["wav_fn"]) != os.path.abspath(dst):
+                    shutil.copyfile(row["wav_fn"], dst)
+        with open(os.path.join(out_dir, "mfa_dict.txt"), "w") as f:
+            for p in sorted(phones):
+                f.write(f"{p} {p}\n")
+        return mfa_dir

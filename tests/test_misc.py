@@ -76,6 +76,33 @@ def test_denoise_processor_reduces_noise_floor():
     assert after < before
 
 
+# ---------------------------------------------------------- mfa inputs
+
+def test_build_mfa_inputs(tmp_path):
+    import os
+    import wave
+    from stylesinger_tpu.config import tiny_test_config
+    from stylesinger_tpu.data.preprocess import Preprocessor
+
+    sr = 24000
+    wav_fn = str(tmp_path / "u0.wav")
+    pcm = (0.1 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+           * 32767).astype(np.int16)
+    with wave.open(wav_fn, "wb") as f:
+        f.setnchannels(1); f.setsampwidth(2); f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+    rows = [{"item_name": "u0", "ph": ["a", "b"], "singer": "s1",
+             "wav_fn": wav_fn},
+            {"item_name": "u1", "ph": "c d", "singer": "s2"}]
+    pre = Preprocessor(tiny_test_config(), language="en")
+    mfa_dir = pre.build_mfa_inputs(rows, out_dir=str(tmp_path))
+    assert os.path.exists(os.path.join(mfa_dir, "s1", "u0.lab"))
+    assert os.path.exists(os.path.join(mfa_dir, "s1", "u0.wav"))
+    assert open(os.path.join(mfa_dir, "s2", "u1.lab")).read() == "c d"
+    dict_lines = open(str(tmp_path / "mfa_dict.txt")).read().splitlines()
+    assert "a a" in dict_lines and "d d" in dict_lines
+
+
 # ----------------------------------------------------------- profiling
 
 def test_profile_step_returns_op_table(tmp_path):
