@@ -127,6 +127,20 @@ class Trainer:
                     step == profile_at + c.get("profile_n_steps", 5):
                 jax.block_until_ready(m)
                 jax.profiler.stop_trace()
+                try:  # per-op cost table from the captured device trace
+                    from stylesinger_tpu.utils.profiling import (
+                        _latest_trace, format_table, parse_trace,
+                    )
+                    tf = _latest_trace(os.path.join(self.work_dir,
+                                                    "profile"))
+                    if tf:
+                        rows = parse_trace(tf)
+                        n = c.get("profile_n_steps", 5)
+                        for r in rows:
+                            r["per_iter_us"] = r["total_us"] / n
+                        print(format_table(rows, top=15))
+                except Exception as e:  # never break training over a trace
+                    print(f"| profile table unavailable: {e}")
             step += 1
 
             for k, v in m.items():
