@@ -112,6 +112,8 @@ def main() -> None:
     # config 4 variant: PLMS fast sampler on the mel stage (the reference
     # ships the same pndm_speedup switch in its GaussianDiffusion base)
     headline.main(metric="e2e_rtf_plms5", pndm_speedup=5)
+    # config 4 variant: fast serving — PLMS-5 mel + strided (DDIM/span) F0
+    headline.main(metric="e2e_rtf_fast", pndm_speedup=5, f0_speedup=5)
 
     for r in results:
         print(json.dumps(r))

@@ -236,6 +236,9 @@ DEFAULTS: Dict[str, Any] = dict(
     mrf_block=2048,
     # conv compute dtype for the vocoder generator (params stay fp32)
     vocoder_compute_dtype="float32",
+    # strided F0 sampler: 1 = reference-parity 100-step ancestral; >1 takes
+    # DDIM jumps (gaussian) + span posteriors (uv) with T/speedup calls
+    f0_speedup=1,
     # --- data / work dirs ---
     binary_data_dir="data/binary/style",
     processed_data_dir="data/processed/style",

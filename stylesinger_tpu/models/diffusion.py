@@ -304,6 +304,53 @@ def shallow_p_losses(denoise_fn: Callable, sched: Schedule,
 # Samplers (lax.scan; ~100 denoiser calls compiled into one loop)
 # ---------------------------------------------------------------------------
 
+def _gaussian_ddim_jump(sched: Schedule, x: jnp.ndarray, t: jnp.ndarray,
+                        t_prev: jnp.ndarray, eps_pred: jnp.ndarray,
+                        clip: Tuple[jnp.ndarray, jnp.ndarray]) -> jnp.ndarray:
+    """Deterministic DDIM (eta=0) jump t -> t_prev (t_prev < 0 lands on x0),
+    with the same x0 clipping as the ancestral sampler."""
+    x0 = predict_start_from_noise(sched, x, t, eps_pred)
+    x0 = jnp.clip(x0, clip[0], clip[1])
+    # eps implied by the clipped x0 (keeps the jump consistent with clip)
+    sr = _extract(sched.sqrt_recip_alphas_cumprod, t, x.ndim)
+    srm1 = _extract(sched.sqrt_recipm1_alphas_cumprod, t, x.ndim)
+    eps = (sr * x - x0) / srm1
+    tp = jnp.maximum(t_prev, 0)
+    ac_prev = _extract(sched.alphas_cumprod, tp, x.ndim)
+    ac_prev = jnp.where(
+        t_prev.reshape((-1,) + (1,) * (x.ndim - 1)) < 0, 1.0, ac_prev)
+    return jnp.sqrt(ac_prev) * x0 + jnp.sqrt(1.0 - ac_prev) * eps
+
+
+def _log1mexp(a: jnp.ndarray) -> jnp.ndarray:
+    """log(1 - exp(a)) for a <= 0, safe at a -> 0."""
+    return jnp.log(jnp.clip(-jnp.expm1(a), 1e-30, None))
+
+
+def cat_q_posterior_strided(sched: Schedule, log_x_start: jnp.ndarray,
+                            log_x_t: jnp.ndarray, t: jnp.ndarray,
+                            t_prev: jnp.ndarray,
+                            num_classes: int) -> jnp.ndarray:
+    """q(x_{t_prev} | x_t, x0-distribution) across a stride of several
+    timesteps: the forward kernel over (t_prev, t] has cumulative retention
+    prod(alpha) = ca_t / ca_{t_prev}. Reduces exactly to
+    :func:`cat_q_posterior` at t_prev = t-1 (span = alpha_t), and to the
+    reference's t=0 behavior at t_prev = -1 (span = ca_0, evidence = x0)."""
+    ndim = log_x_t.ndim
+    tp = jnp.maximum(t_prev, 0)
+    lca_t = _extract(sched.log_cumprod_alpha, t, ndim)
+    lca_p = _extract(sched.log_cumprod_alpha, tp, ndim)
+    tp_neg = t_prev.reshape((-1,) + (1,) * (ndim - 1)) < 0
+    lca_p = jnp.where(tp_neg, 0.0, lca_p)
+    log_span = lca_t - lca_p
+    log_qxt = log_add_exp(log_x_t + log_span,
+                          _log1mexp(log_span) - np.log(num_classes))
+    log_ev = cat_q_pred(sched, log_x_start, tp, num_classes)
+    log_ev = jnp.where(tp_neg, log_x_start, log_ev)
+    unnormed = log_ev + log_qxt
+    return unnormed - jax.nn.logsumexp(unnormed, axis=1, keepdims=True)
+
+
 def sample_gm(denoise_fn: Callable, sched: Schedule, cond_T: int, batch: int,
               rng: jax.Array,
               dyn_clip: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
@@ -343,15 +390,25 @@ def sample_gm(denoise_fn: Callable, sched: Schedule, cond_T: int, batch: int,
 def sample_gm_dual(denoise_fn_a: Callable, denoise_fn_b: Callable,
                    sched: Schedule, cond_T: int, batch: int, rng: jax.Array,
                    dyn_clip: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                   num_classes: int = 2):
+                   num_classes: int = 2, speedup: int = 1):
     """Run the domain-agnostic and domain-specific joint f0+uv reverse
     chains in ONE ``lax.scan`` (the reference runs them sequentially,
     stylesinger.py:249-311).  At inference the chains are independent, so
     fusing them halves the scan count — on small-batch serving the fixed
     per-step dispatch dominates, making this ~2x on the F0 stage.
 
+    ``speedup > 1`` takes strided jumps (cfg ``f0_speedup``, no analogue in
+    the reference): DDIM (eta=0) for the Gaussian f0 half and the
+    span-generalized categorical posterior for the uv half — T/speedup
+    denoiser calls per chain. ``speedup=1`` is the exact reference-parity
+    ancestral sampler.
+
     Returns ((f0_a [B,T,1], uv_a [B,T]), (f0_b, uv_b)).
     """
+    if speedup > 1:
+        return _sample_gm_dual_strided(
+            denoise_fn_a, denoise_fn_b, sched, cond_T, batch, rng,
+            dyn_clip=dyn_clip, num_classes=num_classes, speedup=speedup)
     T = sched.num_timesteps
     rng, ra, rb, rua, rub = jax.random.split(rng, 5)
     z_a = jax.random.normal(ra, (batch, cond_T, 1))
@@ -385,6 +442,51 @@ def sample_gm_dual(denoise_fn_a: Callable, denoise_fn_b: Callable,
     rngs = jax.random.split(rng, T)
     (z_a, log_ua, z_b, log_ub), _ = jax.lax.scan(
         step, (z_a, log_ua, z_b, log_ub), (ts, rngs))
+    return ((z_a, log_onehot_to_index(log_ua).astype(jnp.float32)),
+            (z_b, log_onehot_to_index(log_ub).astype(jnp.float32)))
+
+
+def _sample_gm_dual_strided(denoise_fn_a: Callable, denoise_fn_b: Callable,
+                            sched: Schedule, cond_T: int, batch: int,
+                            rng: jax.Array, dyn_clip=None,
+                            num_classes: int = 2, speedup: int = 5):
+    T = sched.num_timesteps
+    rng, ra, rb, rua, rub = jax.random.split(rng, 5)
+    z_a = jax.random.normal(ra, (batch, cond_T, 1))
+    z_b = jax.random.normal(rb, (batch, cond_T, 1))
+    log_ua = log_sample_categorical(
+        rua, jnp.zeros((batch, num_classes, cond_T)), num_classes)
+    log_ub = log_sample_categorical(
+        rub, jnp.zeros((batch, num_classes, cond_T)), num_classes)
+    clip = dyn_clip if dyn_clip is not None else (-1.0, 1.0)
+
+    def half_step(denoise_fn, z, log_u, t, t_prev, rng_c):
+        out = denoise_fn(z, log_onehot_to_index(log_u), t)
+        eps = out[..., :1]
+        logits = jnp.swapaxes(out[..., 1:], 1, 2)
+        z = _gaussian_ddim_jump(sched, z, t, t_prev, eps, clip)
+        log_x0 = jax.nn.log_softmax(logits, axis=1)
+        log_model = cat_q_posterior_strided(sched, log_x0, log_u, t, t_prev,
+                                            num_classes)
+        log_u = log_sample_categorical(rng_c, log_model, num_classes)
+        return z, log_u
+
+    def step(carry, inp):
+        z_a, log_ua, z_b, log_ub = carry
+        t_scalar, tp_scalar, rng_i = inp
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        tp = jnp.full((batch,), tp_scalar, dtype=jnp.int32)
+        rng_a, rng_b = jax.random.split(rng_i)
+        z_a, log_ua = half_step(denoise_fn_a, z_a, log_ua, t, tp, rng_a)
+        z_b, log_ub = half_step(denoise_fn_b, z_b, log_ub, t, tp, rng_b)
+        return (z_a, log_ua, z_b, log_ub), None
+
+    ts = np.arange(T - 1, -1, -speedup)
+    tps = np.concatenate([ts[1:], [-1]])  # land exactly on x0
+    rngs = jax.random.split(rng, len(ts))
+    (z_a, log_ua, z_b, log_ub), _ = jax.lax.scan(
+        step, (z_a, log_ua, z_b, log_ub),
+        (jnp.asarray(ts), jnp.asarray(tps), rngs))
     return ((z_a, log_onehot_to_index(log_ua).astype(jnp.float32)),
             (z_b, log_onehot_to_index(log_ub).astype(jnp.float32)))
 

@@ -261,7 +261,8 @@ class StyleSinger(nn.Module):
                 rng = self.make_rng("diffusion")
                 (fa, ua), (fb, ub) = diff.sample_gm_dual(
                     fn_a, fn_b, self.f0_sched, inp_agnostic.shape[1],
-                    inp_agnostic.shape[0], rng, dyn_clip=dyn_clip)
+                    inp_agnostic.shape[0], rng, dyn_clip=dyn_clip,
+                    speedup=int(c.get("f0_speedup", 1)))
                 p_agn = jnp.stack([minmax_denorm_lf0(fa[..., 0]), ua],
                                   axis=-1)
                 p_spec = jnp.stack([minmax_denorm_lf0(fb[..., 0]), ub],

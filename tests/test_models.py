@@ -313,6 +313,62 @@ def test_plms_sampler_matches_full_roughly(tiny_cfg):
         5 * np.abs(np.asarray(full)).mean() + 1.0
 
 
+def test_cat_q_posterior_strided_reduces_to_single_step():
+    """With t_prev = t-1 the strided categorical posterior must equal the
+    reference one-step posterior exactly."""
+    from stylesinger_tpu.models import diffusion as diff
+
+    sched = diff.make_schedule(8, 0.06, "linear")
+    k1, k2 = jax.random.split(KEY)
+    log_x0 = jax.nn.log_softmax(jax.random.normal(k1, (2, 2, 16)), axis=1)
+    log_xt = diff.index_to_log_onehot(
+        jax.random.randint(k2, (2, 16), 0, 2), 2)
+    for tval in (1, 4, 7):
+        t = jnp.full((2,), tval, jnp.int32)
+        ref = diff.cat_q_posterior(sched, log_x0, log_xt, t, 2)
+        strided = diff.cat_q_posterior_strided(sched, log_x0, log_xt, t,
+                                               t - 1, 2)
+        np.testing.assert_allclose(np.asarray(strided), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_gm_dual_strided_sampler(tiny_cfg):
+    """Strided GM sampling (f0_speedup>1) lands near the full dual chain:
+    finite f0 inside the clip bounds, binary uv, comparable magnitudes."""
+    from stylesinger_tpu.models import diffusion as diff
+
+    sched = diff.make_schedule(8, 0.06, "linear")
+
+    def fn(z, uv, t):
+        return jnp.concatenate(
+            [0.1 * z, jnp.zeros(z.shape[:2] + (2,))], axis=-1)
+
+    full = diff.sample_gm_dual(fn, fn, sched, 16, 1, jax.random.PRNGKey(0))
+    fast = diff.sample_gm_dual(fn, fn, sched, 16, 1, jax.random.PRNGKey(0),
+                               speedup=3)
+    for (f0f, uvf), (f0s, uvs) in zip(full, fast):
+        assert f0s.shape == f0f.shape and uvs.shape == uvf.shape
+        assert np.isfinite(np.asarray(f0s)).all()
+        assert set(np.unique(np.asarray(uvs))) <= {0.0, 1.0}
+        assert np.abs(np.asarray(f0s)).max() <= 1.0 + 1e-5  # clip respected
+    # x0-landing: magnitudes in the same range as the full sampler
+    assert np.abs(np.asarray(fast[0][0])).mean() < \
+        5 * np.abs(np.asarray(full[0][0])).mean() + 1.0
+
+
+def test_stylesinger_infer_f0_speedup(ss_setup):
+    """End-to-end inference with the strided F0 sampler enabled."""
+    m, b, variables = ss_setup
+    m2 = type(m)(dict(m.cfg, f0_speedup=4), m.vocab_size)
+    ret = m2.apply(
+        variables, b["txt_tokens"], None, b["spk_embed"], b["emo_embed"],
+        b["ref_mels"], b["ref_f0"], None, None, b["note"], b["note_dur"],
+        b["note_type"], infer=True, use_diff=True, max_frames=48,
+        rngs={"diffusion": KEY, "rq": KEY})
+    assert np.isfinite(np.asarray(ret["mel_out"])).all()
+    assert np.isfinite(np.asarray(ret["f0_denorm"])).all()
+
+
 def test_fs2_pitch_type_variants(tiny_cfg):
     """The reference's cwt and ph pitch variants (fs2.py:185-231)."""
     b = _batch(tiny_cfg)
