@@ -258,7 +258,14 @@ DEFAULTS: Dict[str, Any] = dict(
     # --- parallelism (TPU-native; no analogue in the reference) ---
     mesh_shape=dict(data=-1),   # -1: all devices on the data axis
     param_dtype="float32",
-    compute_dtype="bfloat16",
+    # activation compute dtype for the TRAIN step (params/optimizer stay
+    # f32; LN stats / attention softmax / loss math stay f32). MEASURED on
+    # v5e at the flagship size (bench_train.py, 8x1024 frames): f32 30.0
+    # steps/s vs bf16 26.0-26.8 — f32 matmuls already lower to bf16 MXU
+    # passes, so the extra converts cost more than the activation
+    # bandwidth they save at hidden=256. f32 is therefore the default AND
+    # the recipe setting; bfloat16 remains available for larger variants.
+    compute_dtype="float32",
     # --- infer ---
     save_gt=True,
     save_f0=True,

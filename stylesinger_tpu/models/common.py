@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stylesinger_tpu.models import precision
+
 
 def sinusoidal_table(n_positions: int, dim: int,
                      padding_idx: Optional[int] = 0) -> np.ndarray:
@@ -90,6 +92,7 @@ class LambdaDense(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.Dense(self.features, use_bias=self.use_bias,
+                        dtype=precision.compute_dtype(),
                         kernel_init=nn.initializers.xavier_uniform())(x)
 
 
@@ -104,7 +107,8 @@ class MultiheadSelfAttention(nn.Module):
         b, t, c = x.shape
         h = self.num_heads
         d = c // h
-        qkv = nn.Dense(3 * c, use_bias=False,
+        dt = precision.compute_dtype()
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=dt,
                        kernel_init=nn.initializers.xavier_uniform(),
                        name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -117,12 +121,12 @@ class MultiheadSelfAttention(nn.Module):
                             preferred_element_type=jnp.float32) / math.sqrt(d)
         neg = jnp.finfo(logits.dtype).min
         logits = jnp.where(key_padding_mask[:, None, None, :] > 0, logits, neg)
-        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits, axis=-1)  # f32 reduction
         if self.dropout > 0:
             probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", precision.cast(probs), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
-        return nn.Dense(c, use_bias=False,
+        return nn.Dense(c, use_bias=False, dtype=dt,
                         kernel_init=nn.initializers.xavier_uniform(),
                         name="out")(out)
 
@@ -176,8 +180,10 @@ class TransformerFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
-        y = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME")(x)
-        y = y * self.kernel_size ** -0.5
+        dt = precision.compute_dtype()
+        y = nn.Conv(self.filter_size, (self.kernel_size,), padding="SAME",
+                    dtype=dt)(x)
+        y = y * jnp.asarray(self.kernel_size ** -0.5, y.dtype)
         if self.act == "gelu":
             y = jax.nn.gelu(y)
         elif self.act == "relu":
@@ -201,16 +207,18 @@ class EncSALayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, nonpadding: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        mask = nonpadding[..., None]
+        dt = precision.compute_dtype()
+        mask = precision.cast(nonpadding[..., None])
+        x = precision.cast(x)
         if self.num_heads > 0:
             res = x
-            y = nn.LayerNorm()(x)
+            y = nn.LayerNorm(dtype=dt)(x)
             y = MultiheadSelfAttention(self.num_heads, dropout=0.0)(
                 y, nonpadding, deterministic)
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
             x = (res + y) * mask
         res = x
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(dtype=dt)(x)
         y = TransformerFFN(self.hidden_size, 4 * self.hidden_size,
                            self.kernel_size, dropout=self.dropout,
                            act=self.act)(y, deterministic)
@@ -233,19 +241,20 @@ class FFTBlocks(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, nonpadding: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        mask = nonpadding[..., None]
         if self.use_pos_embed:
             alpha = self.param("pos_embed_alpha", nn.initializers.ones, (1,))
             pos = SinusoidalPositionalEmbedding(self.hidden_size)(nonpadding)
             x = x + alpha * pos
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = precision.cast(x)
+        mask = precision.cast(nonpadding[..., None])
         x = x * mask
         for i in range(self.num_layers):
             x = EncSALayer(self.hidden_size, self.num_heads, self.dropout,
                            self.kernel_size, name=f"layer_{i}")(
                 x, nonpadding, deterministic) * mask
         if self.use_last_norm:
-            x = nn.LayerNorm()(x) * mask
+            x = nn.LayerNorm(dtype=precision.compute_dtype())(x) * mask
         return x
 
 
@@ -321,16 +330,17 @@ class DurationPredictor(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, nonpadding: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        mask = nonpadding[..., None]
+        dt = precision.compute_dtype()
+        mask = precision.cast(nonpadding[..., None])
         for i in range(self.n_layers):
             x = nn.Conv(self.hidden_size, (self.kernel_size,),
-                        padding="SAME", name=f"conv_{i}")(x)
+                        padding="SAME", dtype=dt, name=f"conv_{i}")(x)
             x = jax.nn.relu(x)
-            x = nn.LayerNorm(name=f"ln_{i}")(x)
+            x = nn.LayerNorm(dtype=dt, name=f"ln_{i}")(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
             x = x * mask
-        x = nn.Dense(1, name="out")(x)
-        return (x * mask)[..., 0]  # [B, T] log(dur + offset)
+        x = nn.Dense(1, name="out")(x)  # head stays f32 (log-dur output)
+        return (x * nonpadding[..., None])[..., 0]  # [B, T] log(dur + offset)
 
     @staticmethod
     def out2dur(log_dur: jnp.ndarray, offset: float = 1.0) -> jnp.ndarray:
@@ -350,17 +360,18 @@ class PitchPredictor(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, nonpadding: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
+        dt = precision.compute_dtype()
         alpha = self.param("pos_embed_alpha", nn.initializers.ones, (1,))
         pos = SinusoidalPositionalEmbedding(x.shape[-1], max_positions=4096)(
             nonpadding)
-        x = x + alpha * pos
+        x = precision.cast(x + alpha * pos)
         for i in range(self.n_layers):
             x = nn.Conv(self.hidden_size, (self.kernel_size,),
-                        padding="SAME", name=f"conv_{i}")(x)
+                        padding="SAME", dtype=dt, name=f"conv_{i}")(x)
             x = jax.nn.relu(x)
-            x = nn.LayerNorm(name=f"ln_{i}")(x)
+            x = nn.LayerNorm(dtype=dt, name=f"ln_{i}")(x)
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return nn.Dense(self.odim, name="out")(x)
+        return nn.Dense(self.odim, name="out")(x)  # f32 head
 
 
 def length_regulator(dur: jnp.ndarray, dur_padding: jnp.ndarray,
@@ -396,16 +407,19 @@ class ConvBlocksResidual(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, nonpadding: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        mask = nonpadding[..., None]
+        dt = precision.compute_dtype()
+        mask = precision.cast(nonpadding[..., None])
+        x = precision.cast(x)
         for i in range(self.n):
-            y = nn.LayerNorm(name=f"ln_{i}")(x)
+            y = nn.LayerNorm(dtype=dt, name=f"ln_{i}")(x)
             y = nn.Conv(self.c_multiple * self.channels, (self.kernel_size,),
                         kernel_dilation=(self.dilation,), padding="SAME",
+                        dtype=dt,
                         kernel_init=nn.initializers.xavier_uniform(),
                         name=f"conv_a_{i}")(y)
-            y = y * self.kernel_size ** -0.5
+            y = y * jnp.asarray(self.kernel_size ** -0.5, y.dtype)
             y = jax.nn.gelu(y)
-            y = nn.Conv(self.channels, (1,),
+            y = nn.Conv(self.channels, (1,), dtype=dt,
                         kernel_init=nn.initializers.xavier_uniform(),
                         name=f"conv_b_{i}")(y)
             if self.dropout > 0:
@@ -426,15 +440,16 @@ class ConvBlocks(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, nonpadding: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        mask = nonpadding[..., None]
+        dt = precision.compute_dtype()
+        mask = precision.cast(nonpadding[..., None])
         for i, d in enumerate(self.dilations):
             x = ConvBlocksResidual(self.channels, self.kernel_size, d,
                                    dropout=self.dropout,
                                    name=f"res_{i}")(x, nonpadding,
                                                     deterministic)
         x = x * mask
-        x = nn.LayerNorm(name="last_norm")(x) * mask
-        x = nn.Conv(self.out_dims, (3,), padding="SAME",
+        x = nn.LayerNorm(dtype=dt, name="last_norm")(x) * mask
+        x = nn.Conv(self.out_dims, (3,), padding="SAME", dtype=dt,
                     kernel_init=nn.initializers.xavier_uniform(),
                     name="post")(x) * mask
         return x
@@ -460,16 +475,19 @@ class WN(nn.Module):
     def __call__(self, x: jnp.ndarray, nonpadding: jnp.ndarray,
                  g: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        mask = nonpadding[..., None]
+        dt = precision.compute_dtype()
+        mask = precision.cast(nonpadding[..., None])
+        x = precision.cast(x)
         output = jnp.zeros_like(x)
         hc = self.hidden_channels
         if g is not None:
-            g = nn.Conv(2 * hc * self.n_layers, (1,), name="cond")(g)
+            g = nn.Conv(2 * hc * self.n_layers, (1,), dtype=dt,
+                        name="cond")(g)
         for i in range(self.n_layers):
             dilation = self.dilation_rate ** i if self.dilation_rate > 1 else 1
             x_in = nn.Conv(2 * hc, (self.kernel_size,),
                            kernel_dilation=(dilation,), padding="SAME",
-                           name=f"in_{i}")(x)
+                           dtype=dt, name=f"in_{i}")(x)
             if self.p_dropout > 0:
                 x_in = nn.Dropout(self.p_dropout)(x_in,
                                                   deterministic=deterministic)
@@ -478,7 +496,8 @@ class WN(nn.Module):
                 x_in = x_in + g_l
             acts = jnp.tanh(x_in[..., :hc]) * jax.nn.sigmoid(x_in[..., hc:])
             res_skip_ch = 2 * hc if i < self.n_layers - 1 else hc
-            rs = nn.Conv(res_skip_ch, (1,), name=f"res_skip_{i}")(acts)
+            rs = nn.Conv(res_skip_ch, (1,), dtype=dt,
+                         name=f"res_skip_{i}")(acts)
             if i < self.n_layers - 1:
                 x = (x + rs[..., :hc]) * mask
                 output = output + rs[..., hc:]

@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from stylesinger_tpu.models import precision
+
 
 def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     """Sinusoidal diffusion-step embedding (reference net.py:32-44).
@@ -37,10 +39,11 @@ class DiffusionStepMLP(nn.Module):
 
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        dt = precision.compute_dtype()
         emb = timestep_embedding(t, self.dim)
-        emb = nn.Dense(self.dim * 4, name="fc1")(emb)
+        emb = nn.Dense(self.dim * 4, dtype=dt, name="fc1")(emb)
         emb = mish(emb)
-        emb = nn.Dense(self.dim, name="fc2")(emb)
+        emb = nn.Dense(self.dim, dtype=dt, name="fc2")(emb)
         return emb
 
 
@@ -53,22 +56,25 @@ class ResidualBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray,
                  step_emb: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         c = self.residual_channels
-        step = nn.Dense(c, name="diffusion_projection")(step_emb)  # [B, C]
-        y = x + step[:, None, :]
+        dt = precision.compute_dtype()
+        step = nn.Dense(c, dtype=dt,
+                        name="diffusion_projection")(step_emb)  # [B, C]
+        y = precision.cast(x) + step[:, None, :]
         y = nn.Conv(2 * c, (3,), kernel_dilation=(self.dilation,),
-                    padding="SAME",
+                    padding="SAME", dtype=dt,
                     kernel_init=nn.initializers.kaiming_normal(),
                     name="dilated_conv")(y)
-        y = y + nn.Conv(2 * c, (1,),
+        y = y + nn.Conv(2 * c, (1,), dtype=dt,
                         kernel_init=nn.initializers.kaiming_normal(),
                         name="conditioner_projection")(cond)
         gate, filt = jnp.split(y, 2, axis=-1)
         y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
-        y = nn.Conv(2 * c, (1,),
+        y = nn.Conv(2 * c, (1,), dtype=dt,
                     kernel_init=nn.initializers.kaiming_normal(),
                     name="output_projection")(y)
         residual, skip = jnp.split(y, 2, axis=-1)
-        return (x + residual) / math.sqrt(2.0), skip
+        return (precision.cast(x) + residual) / \
+            jnp.asarray(math.sqrt(2.0), residual.dtype), skip
 
 
 class DiffNet(nn.Module):
@@ -83,7 +89,9 @@ class DiffNet(nn.Module):
     def __call__(self, spec: jnp.ndarray, t: jnp.ndarray,
                  cond: jnp.ndarray) -> jnp.ndarray:
         c = self.residual_channels
-        x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
+        dt = precision.compute_dtype()
+        x = nn.Conv(c, (1,), dtype=dt,
+                    kernel_init=nn.initializers.kaiming_normal(),
                     name="input_projection")(spec)
         x = jax.nn.relu(x)
         step_emb = DiffusionStepMLP(c, name="mlp")(t)
@@ -93,12 +101,14 @@ class DiffNet(nn.Module):
                 c, 2 ** (i % self.dilation_cycle_length),
                 name=f"residual_{i}")(x, cond, step_emb)
             skips.append(skip)
-        x = sum(skips) / math.sqrt(self.residual_layers)
-        x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
+        x = sum(skips) / jnp.asarray(math.sqrt(self.residual_layers),
+                                     skips[0].dtype)
+        x = nn.Conv(c, (1,), dtype=dt,
+                    kernel_init=nn.initializers.kaiming_normal(),
                     name="skip_projection")(x)
         x = jax.nn.relu(x)
         x = nn.Conv(self.in_dims, (1,), kernel_init=nn.initializers.zeros,
-                    name="output_projection")(x)
+                    name="output_projection")(x)  # f32 eps head
         return x
 
 
@@ -119,11 +129,13 @@ class DDiffNet(nn.Module):
     def __call__(self, f0: jnp.ndarray, uv: jnp.ndarray, t: jnp.ndarray,
                  cond: jnp.ndarray, nonpadding: jnp.ndarray) -> jnp.ndarray:
         c = self.residual_channels
-        mask = nonpadding[..., None]
-        xf = nn.Conv(c // 2, (1,),
+        dt = precision.compute_dtype()
+        mask = precision.cast(nonpadding[..., None])
+        xf = nn.Conv(c // 2, (1,), dtype=dt,
                      kernel_init=nn.initializers.kaiming_normal(),
                      name="input_projection")(f0)
-        xu = nn.Embed(self.num_classes, c // 2, name="uv_embed")(uv)
+        xu = precision.cast(
+            nn.Embed(self.num_classes, c // 2, name="uv_embed")(uv))
         x = jnp.concatenate([xf, xu], axis=-1) * mask
         step_emb = DiffusionStepMLP(c, name="mlp")(t)
         skips = []
@@ -132,14 +144,16 @@ class DDiffNet(nn.Module):
                 c, 2 ** (i % self.dilation_cycle_length),
                 name=f"residual_{i}")(x, cond, step_emb)
             skips.append(skip)
-        x = sum(skips) / math.sqrt(self.residual_layers)
-        x = nn.Conv(c, (1,), kernel_init=nn.initializers.kaiming_normal(),
+        x = sum(skips) / jnp.asarray(math.sqrt(self.residual_layers),
+                                     skips[0].dtype)
+        x = nn.Conv(c, (1,), dtype=dt,
+                    kernel_init=nn.initializers.kaiming_normal(),
                     name="skip_projection")(x)
         x = jax.nn.relu(x)
         x = nn.Conv(self.in_dims + self.num_classes, (1,),
                     kernel_init=nn.initializers.zeros,
-                    name="output_projection")(x)
-        return x * mask
+                    name="output_projection")(x)  # f32 eps+logits head
+        return x * nonpadding[..., None]
 
 
 class F0DiffNet(nn.Module):
@@ -204,3 +218,42 @@ class MDiffNet(nn.Module):
                     kernel_init=nn.initializers.zeros,
                     name="output_projection")(x)
         return x * mask
+
+class FFTDenoiser(nn.Module):
+    """Transformer (FFT-block) mel denoiser — the reference's alternative
+    denoiser ``FFT`` (``modules/diff/candidate_decoder.py:35-95``): input
+    1x1-conv to ``residual_channels``, sinusoidal diffusion-step MLP, a
+    fused [x | cond | step] -> hidden projection, FastspeechDecoder FFT
+    stack, and a mel head. Selected with ``diff_decoder_type: fft``.
+
+    spec [B, T, M] + t [B] + cond [B, T, H] -> eps/x0 [B, T, M].
+    """
+    in_dims: int = 80
+    hidden_size: int = 256
+    residual_channels: int = 256
+    num_layers: int = 4
+    kernel_size: int = 9
+    num_heads: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, spec: jnp.ndarray, t: jnp.ndarray,
+                 cond: jnp.ndarray) -> jnp.ndarray:
+        from stylesinger_tpu.models.common import FastspeechDecoder
+
+        dim = self.residual_channels
+        x = nn.Conv(dim, (1,), kernel_init=nn.initializers.kaiming_normal(),
+                    name="input_projection")(spec)
+        step = DiffusionStepMLP(dim, name="mlp")(t)  # [B, dim]
+        step = jnp.broadcast_to(step[:, None, :],
+                                (x.shape[0], x.shape[1], dim))
+        h = nn.Dense(self.hidden_size, name="get_decode_inp")(
+            jnp.concatenate([x, cond, step], axis=-1))
+        # padding inferred from the (masked) conditioner, mirroring the
+        # reference's x.abs().sum(-1)==0 rule
+        nonpadding = (jnp.abs(cond).sum(-1) > 1e-8).astype(jnp.float32)
+        h = FastspeechDecoder(
+            self.hidden_size, self.num_layers, self.kernel_size,
+            num_heads=self.num_heads, dropout=self.dropout,
+            name="decoder")(h, nonpadding, deterministic=True)
+        return nn.Dense(self.in_dims, name="get_mel_out")(h)

@@ -182,6 +182,9 @@ class LocalStyleAdaptor(nn.Module):
                                            deterministic=deterministic)
         if not use_rq:
             return style, None, None
+        # EMA codebook statistics are numerically touchy — quantize in f32
+        # even under a bf16 activation context
+        style = style.astype(jnp.float32)
         quant, rq_loss, codes = RQBottleneck(
             self.n_codes, self.hidden_size, rq_depth=self.rq_depth,
             decay=self.rq_decay, name="rq")(style, train=train, rng=rng)

@@ -35,7 +35,7 @@ from stylesinger_tpu.models.common import (
     DurationPredictor, Embedding, FastspeechDecoder, FastspeechEncoder,
     PitchPredictor, SinusoidalPositionalEmbedding, length_regulator,
 )
-from stylesinger_tpu.models.diffnet import DDiffNet, DiffNet
+from stylesinger_tpu.models.diffnet import DDiffNet, DiffNet, FFTDenoiser
 from stylesinger_tpu.models.fs2 import grad_scale
 from stylesinger_tpu.models.style import LocalStyleAdaptor, ProsodyAligner
 from stylesinger_tpu.models.umln import UMLN
@@ -157,11 +157,22 @@ class StyleSinger(nn.Module):
         self.mel_out = nn.Dense(c["audio_num_mel_bins"],
                                 kernel_init=nn.initializers.xavier_uniform())
         if c["decoder"] in ("diffsinger", "prodiff"):
-            self.postdiff = DiffNet(
-                in_dims=c["audio_num_mel_bins"],
-                residual_layers=c["residual_layers"],
-                residual_channels=c["residual_channels"],
-                dilation_cycle_length=c["dilation_cycle_length"])
+            # DIFF_DECODERS registry (reference stylesinger.py:38-40 ships
+            # 'wavenet'; 'fft' is the candidate_decoder.py FFT denoiser)
+            if c.get("diff_decoder_type", "wavenet") == "fft":
+                self.postdiff = FFTDenoiser(
+                    in_dims=c["audio_num_mel_bins"],
+                    hidden_size=c["hidden_size"],
+                    residual_channels=c["residual_channels"],
+                    num_layers=c["dec_layers"],
+                    kernel_size=c["dec_ffn_kernel_size"],
+                    num_heads=c["num_heads"])
+            else:
+                self.postdiff = DiffNet(
+                    in_dims=c["audio_num_mel_bins"],
+                    residual_layers=c["residual_layers"],
+                    residual_channels=c["residual_channels"],
+                    dilation_cycle_length=c["dilation_cycle_length"])
         if c["decoder"] == "diffsinger":
             self.mel_sched = diff.make_schedule(
                 c["timesteps"], c["max_beta"], c["schedule_type"])

@@ -28,8 +28,16 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
+from stylesinger_tpu.models import precision
 from stylesinger_tpu.training.losses import compute_losses
 from stylesinger_tpu.training.schedules import constant_schedule, rsqrt_schedule
+
+
+def _f32_tree(tree):
+    """Upcast float outputs to f32 before loss math (no-op for f32)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, tree)
 
 
 class Phase(NamedTuple):
@@ -111,10 +119,12 @@ def make_train_step(model, cfg: Any):
 
     def loss_fn(params, codebook, batch, rngs, phase: Phase):
         variables = {"params": params, "codebook": codebook}
-        ret, updates = model.apply(
-            variables, **_model_inputs(batch), infer=False,
-            use_rq=phase.use_rq, forcing=phase.forcing,
-            use_diff=phase.use_diff, rngs=rngs, mutable=["codebook"])
+        with precision.activation_dtype(cfg.get("compute_dtype", "float32")):
+            ret, updates = model.apply(
+                variables, **_model_inputs(batch), infer=False,
+                use_rq=phase.use_rq, forcing=phase.forcing,
+                use_diff=phase.use_diff, rngs=rngs, mutable=["codebook"])
+        ret = _f32_tree(ret)
         losses = compute_losses(ret, batch, cfg, use_rq=phase.use_rq,
                                 forcing=phase.forcing,
                                 use_diff=phase.use_diff)
@@ -150,10 +160,12 @@ def make_eval_step(model, cfg: Any):
                   phase: Phase) -> Dict:
         rngs = _step_rngs(rng, state.step)
         variables = {"params": state.params, "codebook": state.codebook}
-        ret, _ = model.apply(
-            variables, **_model_inputs(batch), infer=False,
-            deterministic=True, use_rq=phase.use_rq, forcing=phase.forcing,
-            use_diff=phase.use_diff, rngs=rngs, mutable=["codebook"])
+        with precision.activation_dtype(cfg.get("compute_dtype", "float32")):
+            ret, _ = model.apply(
+                variables, **_model_inputs(batch), infer=False,
+                deterministic=True, use_rq=phase.use_rq, forcing=phase.forcing,
+                use_diff=phase.use_diff, rngs=rngs, mutable=["codebook"])
+        ret = _f32_tree(ret)
         losses = compute_losses(ret, batch, cfg, use_rq=phase.use_rq,
                                 forcing=phase.forcing,
                                 use_diff=phase.use_diff)

@@ -429,3 +429,31 @@ def test_local_style_adaptor_phone_level(tiny_cfg):
     assert style.shape == (b, t, h)
     assert np.isfinite(np.asarray(style)).all()
     assert float(rq_loss) >= 0
+
+def test_stylesinger_fft_denoiser_decoder(tiny_cfg):
+    """diff_decoder_type: fft — the candidate_decoder.py FFT denoiser swaps
+    in for the WaveNet postdiff (reference DIFF_DECODERS registry,
+    stylesinger.py:38-40 + modules/diff/candidate_decoder.py:35-95)."""
+    cfg = dict(tiny_cfg)
+    cfg.update(decoder="diffsinger", diff_decoder_type="fft", max_frames=48)
+    m = StyleSinger(cfg, VOCAB)
+    b = _batch(tiny_cfg)
+    variables = m.init(
+        ALL_RNGS, b["txt_tokens"], b["mel2ph"], b["spk_embed"],
+        b["emo_embed"], b["mels"], b["f0"], b["f0"], b["uv"],
+        b["note"], b["note_dur"], b["note_type"], infer=False)
+    ret, _ = m.apply(
+        variables, b["txt_tokens"], b["mel2ph"], b["spk_embed"],
+        b["emo_embed"], b["mels"], b["f0"], b["f0"], b["uv"],
+        b["note"], b["note_dur"], b["note_type"], infer=False,
+        rngs={k: jax.random.PRNGKey(i) for i, k in enumerate(
+            ["dropout", "umln", "rq", "diffusion"])},
+        mutable=["codebook"])
+    assert np.isfinite(float(ret["diff_loss"]))
+    ret_i = m.apply(
+        variables, b["txt_tokens"], None, b["spk_embed"], b["emo_embed"],
+        b["ref_mels"], b["ref_f0"], None, None,
+        b["note"], b["note_dur"], b["note_type"],
+        infer=True, max_frames=48, rngs={"diffusion": KEY, "rq": KEY})
+    assert ret_i["mel_out"].shape == (2, 48, cfg["audio_num_mel_bins"])
+    assert np.isfinite(np.asarray(ret_i["mel_out"])).all()

@@ -319,3 +319,41 @@ def test_grad_accumulation(tiny_cfg, rng):
     state, _ = step_fn(state, batch, jax.random.PRNGKey(0), phase)
     leaf2 = np.asarray(jax.tree_util.tree_leaves(state.params)[-1])
     assert not np.allclose(leaf0, leaf2)
+
+def test_bf16_train_step(tiny_cfg, rng):
+    """compute_dtype=bfloat16 (egs recipe AMP analogue): the mixed-precision
+    step produces finite losses close to the f32 step's, and the loss still
+    decreases over 20 steps (params/optimizer/LN-stats/loss math stay f32)."""
+    base = dict(tiny_cfg)
+    base["max_frames"] = 64
+    base["warmup_updates"] = 5
+    model = StyleSinger(base, VOCAB)
+    batch = _synthetic_batch(base, rng, n=2)
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "nsamples"}
+    phase = Phase(use_rq=True, forcing=False, use_diff=True)
+
+    losses, gnorms = {}, {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = dict(base, compute_dtype=dtype)
+        state = init_state(model, cfg, batch)
+        step_fn = make_train_step(model, cfg)
+        series = []
+        for i in range(20):
+            state, m = step_fn(state, batch, jax.random.PRNGKey(0), phase)
+            series.append(float(m["total_loss"]))
+            if i == 0:
+                gnorms[dtype] = float(m["grad_norm"])
+        # params must stay f32 (master copy for the optimizer)
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        losses[dtype] = series
+
+    f32, bf16 = np.asarray(losses["float32"]), np.asarray(losses["bfloat16"])
+    assert np.isfinite(bf16).all()
+    # step-1 forward/backward agree with f32 within bf16 rounding; after
+    # that the trajectories diverge chaotically, so only the trend is
+    # asserted (bf16 must keep learning)
+    np.testing.assert_allclose(bf16[0], f32[0], rtol=0.05)
+    np.testing.assert_allclose(gnorms["bfloat16"], gnorms["float32"],
+                               rtol=0.15)
+    assert np.mean(bf16[-5:]) < np.mean(bf16[:5])
