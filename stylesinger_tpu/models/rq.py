@@ -56,13 +56,22 @@ class VQEmbedding(nn.Module):
         return idx.reshape(inputs.shape[:-1])
 
     def _update(self, vectors: jnp.ndarray, idxs: jnp.ndarray,
-                rng: jax.Array) -> None:
-        """EMA buffer update + unused-code restart (RQ.py:66-115)."""
+                rng: jax.Array, mask: Optional[jnp.ndarray] = None) -> None:
+        """EMA buffer update + unused-code restart (RQ.py:66-115).
+
+        ``mask`` [same leading shape as idxs]: 1 for real frames. Padded
+        frames (static-shape batch padding) are all-zero vectors — without
+        the mask they accumulate into cluster statistics and can be picked
+        as restart codes (the reference has no batch padding, so it has no
+        analogue of this)."""
         flat = vectors.reshape(-1, self.embed_dim)
         flat_idx = idxs.reshape(-1)
         n_vectors = flat.shape[0]
+        w = jnp.ones((n_vectors, 1), flat.dtype) if mask is None else \
+            mask.reshape(-1, 1).astype(flat.dtype)
 
         one_hot = jax.nn.one_hot(flat_idx, self.n_embed, dtype=flat.dtype)
+        one_hot = one_hot * w
         cluster_size = one_hot.sum(0)                       # [K]
         vectors_sum = one_hot.T @ flat                      # [K, D]
 
@@ -73,11 +82,15 @@ class VQEmbedding(nn.Module):
         if self.restart_unused_codes:
             n_rep = -(-self.n_embed // n_vectors)  # ceil
             tiled = jnp.tile(flat, (n_rep, 1))
+            w_tiled = jnp.tile(w[:, 0], (n_rep,))
             rng_noise, rng_perm = jax.random.split(rng)
             tiled = tiled + jax.random.uniform(
                 rng_noise, tiled.shape) * (0.01 / jnp.sqrt(float(self.embed_dim)))
-            perm = jax.random.permutation(rng_perm, tiled.shape[0])
-            rand_vecs = tiled[perm][: self.n_embed]
+            # random order, but real (mask=1) vectors always ahead of padded
+            # ones: score = mask + U[0,1) and sort descending
+            score = w_tiled + jax.random.uniform(rng_perm, w_tiled.shape)
+            order = jnp.argsort(-score)
+            rand_vecs = tiled[order][: self.n_embed]
             usage = (cluster_ema.reshape(-1, 1) >= 1).astype(flat.dtype)
             embed_ema = embed_ema * usage + rand_vecs * (1 - usage)
             cluster_ema = (cluster_ema * usage[:, 0] + (1 - usage[:, 0]))
@@ -89,12 +102,13 @@ class VQEmbedding(nn.Module):
         self.embedding.value = embed_ema / normalized.reshape(-1, 1)
 
     def __call__(self, inputs: jnp.ndarray, train: bool = False,
-                 rng: Optional[jax.Array] = None
+                 rng: Optional[jax.Array] = None,
+                 mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         idxs = jax.lax.stop_gradient(self.find_nearest(
             jax.lax.stop_gradient(inputs)))
         if train and not self.is_initializing():
-            self._update(jax.lax.stop_gradient(inputs), idxs, rng)
+            self._update(jax.lax.stop_gradient(inputs), idxs, rng, mask)
         embeds = self.embedding.value[idxs]
         return jax.lax.stop_gradient(embeds), idxs
 
@@ -108,10 +122,12 @@ class RQBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 rng: Optional[jax.Array] = None
+                 rng: Optional[jax.Array] = None,
+                 nonpadding: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """x: [B, T, D] -> (quantized straight-through, commitment loss,
-        codes [B, T, depth])."""
+        codes [B, T, depth]). ``nonpadding`` [B, T] excludes padded frames
+        from the EMA statistics, restarts, and the commitment loss."""
         residual = jax.lax.stop_gradient(x)
         aggregated = jnp.zeros_like(x)
         quant_list = []
@@ -122,16 +138,24 @@ class RQBottleneck(nn.Module):
                 rng, rng_i = jax.random.split(rng)
             quant, code = VQEmbedding(
                 self.n_embed, self.embed_dim, decay=self.decay,
-                name=f"codebook_{i}")(residual, train=train, rng=rng_i)
+                name=f"codebook_{i}")(residual, train=train, rng=rng_i,
+                                      mask=nonpadding)
             residual = residual - quant
             aggregated = aggregated + quant
             quant_list.append(aggregated)
             codes.append(code)
 
-        # cumulative commitment loss (RQ.py:272-284)
-        commit = jnp.stack([
-            ((x - jax.lax.stop_gradient(q)) ** 2).mean() for q in quant_list
-        ]).mean()
+        # cumulative commitment loss (RQ.py:272-284), masked mean
+        if nonpadding is None:
+            commit = jnp.stack([
+                ((x - jax.lax.stop_gradient(q)) ** 2).mean()
+                for q in quant_list]).mean()
+        else:
+            m = nonpadding[..., None]
+            denom = jnp.maximum(m.sum() * x.shape[-1], 1.0)
+            commit = jnp.stack([
+                (((x - jax.lax.stop_gradient(q)) ** 2) * m).sum() / denom
+                for q in quant_list]).mean()
 
         quants = x + jax.lax.stop_gradient(quant_list[-1] - x)
         return quants, commit, jnp.stack(codes, axis=-1)

@@ -34,11 +34,16 @@ from stylesinger_tpu.models.rq import RQBottleneck
 def guided_attention_mask(tq: int, q_len: jnp.ndarray, tk: int,
                           k_len: jnp.ndarray,
                           sigma: float) -> jnp.ndarray:
-    """[B, Tq, Tk] penalty mask ``1 - exp(-(y/k_len - x/q_len)^2 / 2s^2)``."""
+    """[B, Tq, Tk] penalty mask ``1 - exp(-(y/k_len - x/q_len)^2 / 2s^2)``.
+
+    Lengths are clamped to >= 1: all-padding batch rows (static-shape
+    batch padding, data/batching.py::collate_batch) have length 0 and
+    would otherwise emit 0/0 = NaN, which survives the later pair-mask
+    multiply (NaN * 0 = NaN) and poisons the guided loss."""
     gx = jnp.arange(tq)[None, :, None].astype(jnp.float32)
     gy = jnp.arange(tk)[None, None, :].astype(jnp.float32)
-    ql = q_len[:, None, None].astype(jnp.float32)
-    kl = k_len[:, None, None].astype(jnp.float32)
+    ql = jnp.maximum(q_len[:, None, None].astype(jnp.float32), 1.0)
+    kl = jnp.maximum(k_len[:, None, None].astype(jnp.float32), 1.0)
     return 1.0 - jnp.exp(-((gy / kl - gx / ql) ** 2) / (2 * sigma ** 2))
 
 
@@ -187,5 +192,6 @@ class LocalStyleAdaptor(nn.Module):
         style = style.astype(jnp.float32)
         quant, rq_loss, codes = RQBottleneck(
             self.n_codes, self.hidden_size, rq_depth=self.rq_depth,
-            decay=self.rq_decay, name="rq")(style, train=train, rng=rng)
+            decay=self.rq_decay, name="rq")(style, train=train, rng=rng,
+                                            nonpadding=nonpadding)
         return quant, rq_loss, codes

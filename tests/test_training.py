@@ -357,3 +357,50 @@ def test_bf16_train_step(tiny_cfg, rng):
     np.testing.assert_allclose(gnorms["bfloat16"], gnorms["float32"],
                                rtol=0.15)
     assert np.mean(bf16[-5:]) < np.mean(bf16[:5])
+
+def test_train_step_with_padded_batch_rows(tiny_cfg, rng):
+    """Static-shape batch padding (collate pads batch size to a power of
+    two with all-zero rows): the step must stay finite. Regression test for
+    the guided-attention 0/0 NaN and RQ-EMA pollution found by the
+    synthetic-corpus validation harness."""
+    from stylesinger_tpu.data import collate_batch
+
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    # 3 items -> collate pads the batch to 4 with an all-zero row
+    ds_items = []
+    for i in range(3):
+        t = 24
+        tt = 6
+        ds_items.append({
+            "item_name": f"i{i}",
+            "mel": rng.standard_normal((t, cfg["audio_num_mel_bins"])).astype(np.float32) * 0.5 - 2,
+            "mel2ph": np.repeat(np.arange(1, tt + 1), 4)[:t],
+            "f0": np.abs(rng.standard_normal(t)).astype(np.float32) * 100 + 150,
+            "ph_token": rng.integers(1, VOCAB, tt),
+            "ep_pitches": rng.integers(40, 80, tt),
+            "ep_notedurs": rng.uniform(0.1, 0.6, tt).astype(np.float32),
+            "ep_types": np.ones(tt, np.int64),
+            "spk_embed": rng.standard_normal(256).astype(np.float32),
+            "emo_embed": rng.standard_normal(256).astype(np.float32),
+        })
+    ds = StyleSingerDataset(cfg, "train", items=ds_items)
+    batch = collate_batch([ds[i] for i in range(3)],
+                          cfg["frame_buckets"], cfg["token_buckets"])
+    assert batch["txt_tokens"].shape[0] == 4  # padded row present
+    assert (batch["mel2ph"][3] == 0).all()
+    batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "nsamples"}
+
+    state = init_state(model, cfg, batch)
+    step_fn = make_train_step(model, cfg)
+    phase = Phase(use_rq=True, forcing=False, use_diff=True)
+    for i in range(3):
+        state, m = step_fn(state, batch, jax.random.PRNGKey(i), phase)
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (k, float(v))
+    # codebooks must not absorb the all-zero padded rows: no code collapses
+    # to (near-)zero norm after EMA updates
+    cb = state.codebook["style_extractor"]["rq"]["codebook_0"]["embedding"]
+    norms = np.linalg.norm(np.asarray(cb), axis=-1)
+    assert (norms > 1e-3).all(), norms.min()
