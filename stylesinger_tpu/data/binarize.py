@@ -118,7 +118,15 @@ class StyleSingingBinarizer:
         if os.path.exists(f0_cache):
             f0 = np.load(f0_cache)[: mel.shape[0]]
         else:
-            f0 = extract_pitch(spec["wav"], hop_size=c["hop_size"],
+            # zero-pad the wav to a length bucket so the jitted tracker
+            # compiles once per bucket instead of once per unique length
+            # (a corpus has thousands of lengths; compiles dominate
+            # otherwise); trailing pad frames are dropped below
+            w = spec["wav"]
+            bucket = 4 * c["hop_size"] * 64
+            n = -(-len(w) // bucket) * bucket
+            w = np.pad(w, (0, n - len(w)))
+            f0 = extract_pitch(w, hop_size=c["hop_size"],
                                sample_rate=c["audio_sample_rate"])
             f0 = f0[: mel.shape[0]]
         if len(f0) < mel.shape[0]:
