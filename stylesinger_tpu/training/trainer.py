@@ -34,6 +34,60 @@ from stylesinger_tpu.training.step import (
 )
 
 
+class _BatchPrefetcher:
+    """Background thread assembling + device-putting upcoming batches.
+
+    The reference overlaps host-side batch assembly with the GPU step via
+    DataLoader worker processes (``tasks/tts/tts_base.py:133-137``); the
+    TPU-native equivalent is one thread that runs the numpy collate while
+    the main thread's dispatched device step executes. The thread does
+    HOST work only — the device transfer (`shard_batch`) stays on the
+    consumer thread, because PJRT clients behind remote tunnels are not
+    guaranteed to tolerate concurrent calls from two threads. Queue depth
+    2 keeps one batch ready and one being assembled."""
+
+    def __init__(self, it, reiterate, prep, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: Any = queue.Queue(maxsize=depth)
+        self._it = it
+        self._reiterate = reiterate
+        self._prep = prep
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                try:
+                    b = next(self._it)
+                except StopIteration:
+                    self._it = iter(self._reiterate())
+                    b = next(self._it)
+                self._q.put(self._prep(b))
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+            self._q.put(None)
+
+    def next(self):
+        b = self._q.get()
+        if b is None:
+            raise self._err  # type: ignore[misc]
+        return b
+
+    def close(self):
+        self._stop.set()
+        # unblock a producer waiting on a full queue
+        while not self._q.empty():
+            try:
+                self._q.get_nowait()
+            except Exception:
+                break
+
+
 class MetricsWriter:
     def __init__(self, work_dir: str):
         os.makedirs(work_dir, exist_ok=True)
@@ -111,13 +165,38 @@ class Trainer:
                     valid_batches_fn, window_losses, t0):
         c = self.cfg
         profile_at = c.get("profile_step", -1)
+        prefetch = None
+        # default: overlap host collate with the device step, but only when
+        # the host has a core to spare — on a 1-core box the producer
+        # thread's GIL time comes straight out of the dispatch loop
+        # (measured ~2x slowdown)
+        default_prefetch = 2 if (os.cpu_count() or 1) > 1 else 0
+        if c.get("prefetch_batches", default_prefetch) > 0:
+            prefetch = _BatchPrefetcher(
+                it, lambda: iter(train_batches), self._numeric,
+                depth=c.get("prefetch_batches", default_prefetch))
+        try:
+            return self._train_loop_inner(
+                it, train_batches, prefetch, state, step, max_updates,
+                valid_batches_fn, window_losses, t0)
+        finally:
+            if prefetch is not None:
+                prefetch.close()
+
+    def _train_loop_inner(self, it, train_batches, prefetch, state, step,
+                          max_updates, valid_batches_fn, window_losses, t0):
+        c = self.cfg
+        profile_at = c.get("profile_step", -1)
         while step < max_updates:
-            try:
-                batch = next(it)
-            except StopIteration:
-                it = iter(train_batches)
-                batch = next(it)
-            batch = shard_batch(self._numeric(batch), self.mesh)
+            if prefetch is not None:
+                batch = shard_batch(prefetch.next(), self.mesh)
+            else:
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    it = iter(train_batches)
+                    batch = next(it)
+                batch = shard_batch(self._numeric(batch), self.mesh)
             phase = phase_for_step(step, c)
             if step == profile_at:  # one traced window for xprof
                 jax.profiler.start_trace(
