@@ -38,12 +38,17 @@ def build_cfg(raw_dir: str, bin_dir: str, work_dir: str, steps: int,
     kw = dict(
         audio_sample_rate=24000, fft_size=512, win_size=512, hop_size=128,
         fmax=12000, fmin=30,
+        # vocoder upsampling must equal the hop (prod = 128 at 24 kHz)
+        upsample_rates=(8, 4, 2, 2), upsample_kernel_sizes=(16, 8, 4, 4),
         processed_data_dir=raw_dir, binary_data_dir=bin_dir,
         work_dir=work_dir,
         valid_prefixes=["test_"], test_prefixes=["test_"],
-        frame_buckets=(512, 1024), token_buckets=(16,),
+        # ONE frame bucket and a fixed sentence cap: every train batch is
+        # (8, 1024) (the final partial pads to a pow2) so the compile count
+        # stays at ~2 shapes x 4 curriculum phases instead of dozens
+        frame_buckets=(1024,), token_buckets=(16,),
         max_frames=1024, max_input_tokens=16,
-        max_tokens=8192, max_sentences=12,
+        max_tokens=16384, max_sentences=8,
         # curriculum scaled to the short run (reference: 20k/20.5k/100k of
         # 320k updates -> same fractions of `steps`)
         forcing=int(steps * 0.08), rq_start=int(steps * 0.1),
