@@ -30,19 +30,36 @@ class CheckpointManager:
 
     def __init__(self, work_dir: str, keep: int = 3, save_best: bool = True):
         self.dir = os.path.join(os.path.abspath(work_dir), "ckpt")
+        self.best_dir = os.path.join(os.path.abspath(work_dir), "ckpt_best")
         os.makedirs(self.dir, exist_ok=True)
         self.keep = keep
         self.save_best = save_best
         self._best: Optional[float] = None
         if _HAS_ORBAX:
-            options = ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True,
-                best_fn=(lambda m: -m["val_loss"]) if save_best else None,
-                best_mode="max" if save_best else "max",
-                keep_checkpoints_without_metrics=True)
-            self._mgr = ocp.CheckpointManager(self.dir, options=options)
+            # NOTE: the periodic manager must NOT get a best_fn — orbax then
+            # prunes to the best-K *by metric* and deletes the latest step,
+            # which breaks resume (reference semantics are keep-K LATEST,
+            # utils/trainer.py:400-402, plus a separate best copy :406-413)
+            self._mgr = ocp.CheckpointManager(
+                self.dir,
+                options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                     create=True))
+            self._best_mgr = None
+            if save_best:
+                self._best_mgr = ocp.CheckpointManager(
+                    self.best_dir,
+                    options=ocp.CheckpointManagerOptions(max_to_keep=1,
+                                                         create=True))
+                prev = self._best_mgr.latest_step()
+                if prev is not None:  # resume: don't clobber a better copy
+                    try:
+                        m = self._best_mgr.metrics(prev)
+                        self._best = float(m["val_loss"]) if m else None
+                    except Exception:
+                        self._best = None
         else:
             self._mgr = None
+            self._best_mgr = None
 
     # -------------------------------------------------------------- save
     def save(self, step: int, state: Any,
@@ -51,10 +68,14 @@ class CheckpointManager:
             payload = {"params": state.params, "codebook": state.codebook,
                        "opt_state": state.opt_state,
                        "step": np.asarray(step)}
-            metrics = {"val_loss": float(val_loss)} if val_loss is not None \
-                else None
-            self._mgr.save(step, args=ocp.args.StandardSave(payload),
-                           metrics=metrics)
+            self._mgr.save(step, args=ocp.args.StandardSave(payload))
+            if self._best_mgr is not None and val_loss is not None and \
+                    (self._best is None or float(val_loss) < self._best):
+                self._best = float(val_loss)
+                self._best_mgr.save(
+                    step, args=ocp.args.StandardSave(payload),
+                    metrics={"val_loss": self._best})
+                self._best_mgr.wait_until_finished()
             self._mgr.wait_until_finished()
         else:  # pragma: no cover - fallback without orbax
             import pickle
@@ -72,6 +93,28 @@ class CheckpointManager:
         steps = [int(f.split("_")[1].split(".")[0])
                  for f in os.listdir(self.dir) if f.startswith("state_")]
         return max(steps) if steps else None
+
+    def best_step(self) -> Optional[int]:
+        """Step of the best-val copy (reference model_ckpt_best.pt)."""
+        if self._best_mgr is not None:
+            return self._best_mgr.latest_step()
+        return None
+
+    def restore_best(self, state: Any) -> Tuple[Any, int]:
+        """Restore the best-val checkpoint (falls back to latest)."""
+        step = self.best_step()
+        if step is None or self._best_mgr is None:
+            return self.restore(state)
+        target = {"params": state.params, "codebook": state.codebook,
+                  "opt_state": state.opt_state, "step": np.asarray(step)}
+        payload = self._best_mgr.restore(
+            step, args=ocp.args.StandardRestore(target))
+        import jax.numpy as jnp
+        state = state.replace(
+            params=payload["params"], codebook=payload["codebook"],
+            opt_state=payload["opt_state"],
+            step=jnp.asarray(step, jnp.int32))
+        return state, int(step)
 
     def restore(self, state: Any, step: Optional[int] = None
                 ) -> Tuple[Any, int]:

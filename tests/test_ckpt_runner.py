@@ -67,6 +67,29 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cfg, rng):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_keep_k_prunes_oldest_not_worst(tmp_path, tiny_cfg, rng):
+    """Regression: with a best_fn on the periodic manager, orbax keeps the
+    best-K BY METRIC and deletes the newest step, breaking resume. The
+    reference keeps the K most recent + a separate best copy
+    (utils/trainer.py:400-413)."""
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _batch(cfg, rng)
+    batch.pop("nsamples")
+    state = init_state(model, cfg, batch)
+
+    mgr = CheckpointManager(str(tmp_path), keep=2, save_best=True)
+    mgr.save(100, state, val_loss=0.5)   # best val
+    mgr.save(200, state, val_loss=1.0)
+    mgr.save(300, state, val_loss=2.0)   # worst val but most recent
+    assert mgr.latest_step() == 300      # resume must see the newest
+    assert mgr.best_step() == 100        # best copy preserved separately
+    _, step = mgr.restore_best(init_state(model, cfg, batch,
+                                          rng=jax.random.PRNGKey(1)))
+    assert step == 100
+
+
 def test_test_runner_writes_artifacts(tmp_path, tiny_cfg, rng):
     from stylesinger_tpu.vocoder_infer import HifiGAN_NSF
 
