@@ -61,8 +61,12 @@ def init_vocoder_state(cfg: Any, rng: jax.Array,
     lr = cfg.get("vocoder_lr", 2e-4)
     b1 = cfg.get("vocoder_adam_b1", 0.8)
     b2 = cfg.get("vocoder_adam_b2", 0.99)
-    gen_tx = optax.adamw(lr, b1=b1, b2=b2)
-    disc_tx = optax.adamw(lr, b1=b1, b2=b2)
+    # 'radam' mirrors the reference PWG recipe's optimizer
+    # (modules/parallel_wavegan/optimizers/radam.py)
+    opt = {"adamw": optax.adamw, "radam": optax.radam}[
+        cfg.get("vocoder_optimizer", "adamw")]
+    gen_tx = opt(lr, b1=b1, b2=b2)
+    disc_tx = opt(lr, b1=b1, b2=b2)
     return VocoderState(
         step=jnp.zeros((), jnp.int32), gen_params=gen_vars["params"],
         disc_params=disc_params, gen_opt=gen_tx.init(gen_vars["params"]),
