@@ -32,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_cfg(raw_dir: str, bin_dir: str, work_dir: str, steps: int,
-              tiny: bool = False):
+              tiny: bool = False, overrides: str = ""):
+    """overrides: 'k=v,k2=v2' applied last (ints/floats auto-coerced), the
+    harness analogue of the reference's --hparams CLI."""
     from stylesinger_tpu.config import load_config
 
     kw = dict(
@@ -68,6 +70,16 @@ def build_cfg(raw_dir: str, bin_dir: str, work_dir: str, steps: int,
             aligner_layers=1, aligner_ffn_dim=64, rq_depth=2, nRQ=16,
             frame_buckets=(256,), max_frames=256, tb_log_interval=5,
             val_check_interval=10)
+    for pair in filter(None, overrides.split(",")):
+        k, v = pair.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        kw[k.strip()] = v
     return load_config(**kw)
 
 
@@ -150,6 +162,9 @@ def main():
     ap.add_argument("--eval_only", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="shrunken dims on CPU: harness smoke test only")
+    ap.add_argument("--overrides", default="",
+                    help="extra cfg 'k=v,k2=v2' (e.g. pin diff_start when "
+                    "resuming a longer run)")
     args = ap.parse_args()
 
     import jax
@@ -165,7 +180,8 @@ def main():
     raw_dir = os.path.join(args.dir, "raw")
     bin_dir = os.path.join(args.dir, "binary")
     work_dir = os.path.join(args.dir, "work")
-    cfg = build_cfg(raw_dir, bin_dir, work_dir, args.steps, tiny=args.tiny)
+    cfg = build_cfg(raw_dir, bin_dir, work_dir, args.steps, tiny=args.tiny,
+                    overrides=args.overrides)
 
     if not os.path.exists(os.path.join(raw_dir, "metadata.json")):
         from tools.make_synthetic_corpus import make_corpus
