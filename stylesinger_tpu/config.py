@@ -360,6 +360,22 @@ def load_config(path: Optional[str] = None, overrides: str = "",
         _deep_merge(cfg, _load_yaml_cascade(path))
     apply_overrides(cfg, overrides)
     cfg.update(kwargs)
+    apply_spec_stats(cfg)
+    return cfg
+
+
+def apply_spec_stats(cfg: Config) -> Config:
+    """Opt-in per-dataset diffusion bounds: when ``use_data_spec_stats`` is
+    true and the binarizer wrote ``<binary_data_dir>/spec_stats.json``
+    (per-bin train-mel min/max), swap them in for the hand-made yaml tables
+    the reference ships (egs/stylesinger.yaml:142-143)."""
+    if not cfg.get("use_data_spec_stats"):
+        return cfg
+    fn = os.path.join(cfg.get("binary_data_dir", ""), "spec_stats.json")
+    if os.path.exists(fn):
+        stats = json.load(open(fn))
+        cfg["spec_min"] = stats["spec_min"]
+        cfg["spec_max"] = stats["spec_max"]
     return cfg
 
 

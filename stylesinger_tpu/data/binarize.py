@@ -175,6 +175,8 @@ class StyleSingingBinarizer:
             from stylesinger_tpu.data.native_loader import TsdWriter
             tsd = TsdWriter(os.path.join(self.binary_dir, prefix))
         lengths, total_sec = [], 0.0
+        spec_min = np.full(c["audio_num_mel_bins"], np.inf, np.float32)
+        spec_max = np.full(c["audio_num_mel_bins"], -np.inf, np.float32)
         ba = c["binarization_args"]
         for name in names:
             item = self.process_item(self.items[name])
@@ -191,6 +193,8 @@ class StyleSingingBinarizer:
                 item.pop("wav", None)
             lengths.append(item["len"])
             total_sec += item["sec"]
+            spec_min = np.minimum(spec_min, item["mel"].min(0))
+            spec_max = np.maximum(spec_max, item["mel"].max(0))
             builder.add_item(item)
             if tsd is not None:
                 from stylesinger_tpu.data.tsd_dataset import (
@@ -206,6 +210,15 @@ class StyleSingingBinarizer:
             tsd.finalize()
         np.save(os.path.join(self.binary_dir, f"{prefix}_lengths.npy"),
                 lengths)
+        if prefix == "train" and lengths:
+            # per-dataset diffusion normalization bounds: the reference
+            # ships these as hand-made yaml tables (egs/stylesinger.yaml:
+            # 142-143 spec_min/spec_max); computing them at binarize time
+            # lets new datasets opt in via `use_data_spec_stats: true`
+            with open(os.path.join(self.binary_dir,
+                                   "spec_stats.json"), "w") as f:
+                json.dump({"spec_min": spec_min.tolist(),
+                           "spec_max": spec_max.tolist()}, f)
         print(f"| {prefix}: {len(lengths)} items, {total_sec:.1f}s audio")
 
 

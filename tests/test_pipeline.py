@@ -72,6 +72,22 @@ def test_binarize_and_load(tmp_path, rng):
     assert len(s["txt_tokens"]) == 3
     assert np.isfinite(s["f0"]).all()
 
+    # per-dataset diffusion bounds written at binarize time, opt-in load
+    import json
+
+    from stylesinger_tpu.config import apply_spec_stats
+    stats_fn = tmp_path / "binary" / "spec_stats.json"
+    assert stats_fn.exists()
+    stats = json.load(open(stats_fn))
+    assert len(stats["spec_min"]) == cfg["audio_num_mel_bins"]
+    assert all(a <= b for a, b in zip(stats["spec_min"], stats["spec_max"]))
+    cfg2 = dict(cfg)
+    cfg2["use_data_spec_stats"] = True
+    apply_spec_stats(cfg2)
+    assert cfg2["spec_min"] == stats["spec_min"]
+    assert cfg2["spec_max"] == stats["spec_max"]
+    assert cfg["spec_min"] != stats["spec_min"]  # opt-in only
+
 
 def test_infer_api_smoke(tmp_path, rng):
     """Tiny random-weights end-to-end: ph/notes + ref wav -> wav out
