@@ -17,7 +17,8 @@ import os
 
 def main() -> None:
     ap = argparse.ArgumentParser("stylesinger_tpu")
-    ap.add_argument("command", choices=["train", "binarize", "infer"])
+    ap.add_argument("command", choices=["train", "binarize", "infer",
+                                        "test"])
     ap.add_argument("--config", default=None)
     ap.add_argument("--exp_name", default="stylesinger")
     ap.add_argument("--hparams", default="",
@@ -76,6 +77,40 @@ def main() -> None:
             return bb.batches(0)
 
         trainer.fit(endless(), valid_batches)
+        return
+
+    if args.command == "test":
+        # reference "test" mode (trainer.test() -> test_step/test_end,
+        # tasks/StyleSinger/stylesinger.py:156-306): synthesize the test
+        # split from the latest checkpoint and dump wavs + meta.csv +
+        # result_f0s.npy under <work_dir>/generated_<step>/
+        from stylesinger_tpu.data import BucketBatcher, StyleSingerDataset
+        from stylesinger_tpu.models.stylesinger import StyleSinger
+        from stylesinger_tpu.text import build_token_encoder
+        from stylesinger_tpu.training.step import init_state
+        from stylesinger_tpu.training.test_runner import TestRunner
+        from stylesinger_tpu.training.trainer import Trainer
+        from stylesinger_tpu.vocoder_infer import get_vocoder_cls
+
+        ph_set = os.path.join(cfg["binary_data_dir"], "phone_set.json")
+        encoder = build_token_encoder(ph_set)
+        model = StyleSinger(cfg, len(encoder))
+        test_ds = StyleSingerDataset(cfg, cfg["test_set_name"])
+        trainer = Trainer(model, cfg, work_dir)
+        bb = BucketBatcher(test_ds, cfg, shuffle=False,
+                           max_tokens=cfg["max_valid_tokens"],
+                           max_sentences=cfg["max_valid_sentences"])
+        batches = list(bb.batches(0))
+        state = init_state(model, cfg, trainer._numeric(batches[0]),
+                           trainer.rng)
+        state, step = trainer.ckpt.restore(state)
+        print(f"| restored checkpoint step {step}")
+        variables = {"params": state.params, "codebook": state.codebook}
+        vocoder = get_vocoder_cls(cfg)(cfg)
+        runner = TestRunner(model, cfg, vocoder, work_dir,
+                            gen_dir_name=str(step))
+        gen_dir = runner.run(variables, batches)
+        print(f"| wrote {gen_dir}")
         return
 
     if args.command == "infer":

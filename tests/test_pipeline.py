@@ -184,6 +184,9 @@ def test_cli_end_to_end(tmp_path, rng, monkeypatch):
         "keep_bins=16", "emo_size=16", "spk_embed_size=16",
         "warmup_updates=10", "frame_buckets=[128,256]",
         "token_buckets=[8,16]",
+        # tiny vocoder whose upsample product equals the hop (128)
+        "upsample_rates=[8,4,2,2]", "upsample_kernel_sizes=[16,8,4,4]",
+        "upsample_initial_channel=16", "mrf_block=0",
     ])
     monkeypatch.setattr(sys, "argv", [
         "run", "binarize", "--hparams", overrides])
@@ -203,3 +206,14 @@ def test_cli_end_to_end(tmp_path, rng, monkeypatch):
     rows = [_json.loads(l) for l in lines]
     assert any(r["prefix"] == "valid" for r in rows)
     assert all(np.isfinite(r.get("total_loss", 0.0)) for r in rows)
+
+    # test mode: restore the checkpoint and synthesize the test split
+    monkeypatch.setattr(sys, "argv", [
+        "run", "test", "--exp_name", "tiny", "--hparams", overrides,
+        "--work_dir_root", str(tmp_path / "ckpts")])
+    cli.main()
+    gen = work / "generated_2"
+    wavs = os.listdir(gen / "wavs")
+    assert any(w.endswith(".wav") for w in wavs)
+    assert os.path.exists(gen / "meta.csv")
+    assert os.path.exists(gen / "result_f0s.npy")
