@@ -143,6 +143,15 @@ DEFAULTS: Dict[str, Any] = dict(
     num_spk=150,
     emo_size=256,
     spk_embed_size=256,
+    # pretrained d-vector encoder checkpoints (torch .pt, converted at
+    # load): reference hparam `emotion_encoder_path` (checkpoints/
+    # global.pt) + resemblyzer's bundled pretrained.pt; empty -> random
+    emotion_encoder_path="",
+    speaker_encoder_path="",
+    # reference quirk: the speaker d-vector is computed from the NATIVE-
+    # rate wav through the 16 kHz front-end (style_binarizer.py:325,
+    # inference/StyleSinger.py:100-104); False = proper 16 kHz resample
+    spk_embed_at_native_rate=True,
     # --- note encoder ---
     note_vocab=100,
     note_type_vocab=5,

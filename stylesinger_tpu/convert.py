@@ -381,6 +381,58 @@ def convert_hifigan(sd: Mapping, cfg: Any) -> Dict:
     return {"params": params}
 
 
+def convert_ge2e_lstm(sd: Mapping, prefix: str = "lstm",
+                      num_layers: int = 3) -> Dict:
+    """torch ``nn.LSTM`` (batch_first) -> flax ``nn.RNN(OptimizedLSTMCell)``
+    stack params, one ``lstm_<k>/cell`` per layer.
+
+    torch packs gates row-wise in (i, f, g, o) order:
+    ``weight_ih_l<k>`` [4H, I], ``weight_hh_l<k>`` [4H, H], plus two bias
+    vectors that torch *adds* — flax keeps a single bias on the hidden-side
+    dense, so ``bias = bias_ih + bias_hh``. Flax's cell computes the same
+    recurrence (i=σ, f=σ, g=tanh, o=σ; c'=f·c+i·g; h'=o·tanh(c')), so the
+    mapping is purely a layout change."""
+    out: Dict[str, Any] = {}
+    for layer in range(num_layers):
+        w_ih = _np(sd[f"{prefix}.weight_ih_l{layer}"])
+        w_hh = _np(sd[f"{prefix}.weight_hh_l{layer}"])
+        b = (_np(sd[f"{prefix}.bias_ih_l{layer}"]) +
+             _np(sd[f"{prefix}.bias_hh_l{layer}"]))
+        h = w_hh.shape[1]
+        cell: Dict[str, Any] = {}
+        for gi, gate in enumerate("ifgo"):
+            sl = slice(gi * h, (gi + 1) * h)
+            cell[f"i{gate}"] = {"kernel": w_ih[sl].T}
+            cell[f"h{gate}"] = {"kernel": w_hh[sl].T, "bias": b[sl]}
+        out[f"lstm_{layer}"] = cell
+    return out
+
+
+def convert_ge2e_encoder(sd: Mapping, num_layers: int = 3) -> Dict:
+    """GE2E d-vector encoder state_dict -> ``UtteranceEncoder`` variables.
+
+    Works for both pretrained sources the reference relies on: the emotion
+    encoder ``checkpoints/global.pt`` (``data_gen/tts/emotion/model.py:
+    11-77``) and a resemblyzer ``VoiceEncoder`` ``pretrained.pt`` —
+    identical architecture (3-layer LSTM(40->256) + linear(256->256))."""
+    params = convert_ge2e_lstm(sd, "lstm", num_layers)
+    params["proj"] = lin(sd, "linear")
+    return {"params": params}
+
+
+def load_ge2e_checkpoint(path: str) -> Dict:
+    """Load + convert a GE2E encoder checkpoint (.pt). Accepts both the
+    ``{"model_state": sd, "step": N}`` wrapper used by ``global.pt`` and
+    resemblyzer's ``pretrained.pt``, and a bare state_dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state", ckpt) if isinstance(ckpt, dict) else ckpt
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_ge2e_encoder(sd)
+
+
 def load_torch_checkpoint(path: str, child: Optional[str] = "model"):
     """Read a reference ``model_ckpt_steps_N.ckpt``: returns the flat
     state_dict of the requested child (utils/trainer.py:421-434 layout)."""

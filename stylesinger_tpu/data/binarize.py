@@ -34,7 +34,7 @@ from stylesinger_tpu.dsp.mel import load_wav, wav2spec_np
 from stylesinger_tpu.dsp.pitch import extract_pitch
 from stylesinger_tpu.text import TokenTextEncoder, build_token_encoder
 from stylesinger_tpu.models.encoders import (
-    GE2E_SR, UtteranceEncoder, ge2e_mel_np,
+    UtteranceEncoder, preprocess_wav,
 )
 
 
@@ -139,19 +139,56 @@ class StyleSingingBinarizer:
         return item
 
     def _embed(self, wav48: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Speaker + emotion d-vectors, mirroring the reference binarizer:
+        the speaker embed is the native-rate wav fed straight into the
+        16 kHz resemblyzer front-end (style_binarizer.py:325 — a reference
+        quirk kept for checkpoint parity, cfg ``spk_embed_at_native_rate``),
+        the emotion embed uses the preprocessed 16 kHz path
+        (style_binarizer.py:327-329 via ``preprocess_wav``)."""
         c = self.cfg
-        t16 = np.arange(int(len(wav48) * GE2E_SR / c["audio_sample_rate"]))
-        wav16 = np.interp(t16 * (c["audio_sample_rate"] / GE2E_SR),
-                          np.arange(len(wav48)), wav48).astype(np.float32)
-        mel16 = ge2e_mel_np(wav16)
-        if self._spk_vars is None:
-            import jax
-            probe = np.zeros((1, 160, 40), np.float32)
-            self._spk_vars = self._spk_enc.init(jax.random.PRNGKey(0), probe)
-            self._emo_vars = self._emo_enc.init(jax.random.PRNGKey(1), probe)
-        spk = self._spk_enc.embed_utterance(self._spk_vars, mel16)
-        emo = self._emo_enc.embed_utterance(self._emo_vars, mel16)
+        self._ensure_encoder_vars()
+        if c.get("spk_embed_at_native_rate", True):
+            spk_wav = np.asarray(wav48, np.float32)
+        else:
+            spk_wav = preprocess_wav(wav48, c["audio_sample_rate"])
+        spk = self._spk_enc.embed_utterance(self._spk_vars, spk_wav,
+                                            project=True)
+        wav16 = preprocess_wav(wav48, c["audio_sample_rate"])
+        emo = self._emo_enc.embed_utterance(self._emo_vars, wav16,
+                                            project=False)
         return spk, emo
+
+    def _ensure_encoder_vars(self) -> None:
+        """Pretrained d-vector weights when configured (reference
+        ``emotion_encoder_path`` hparam, style_binarizer.py:289), random
+        otherwise."""
+        if self._spk_vars is not None and self._emo_vars is not None:
+            return
+        import jax
+
+        from stylesinger_tpu.convert import load_ge2e_checkpoint
+
+        probe = np.zeros((1, 160, 40), np.float32)
+        if self._spk_vars is None:
+            path = self.cfg.get("speaker_encoder_path") or ""
+            if path and os.path.exists(path):
+                self._spk_vars = load_ge2e_checkpoint(path)
+            else:
+                if path:
+                    print(f"| WARN: speaker_encoder_path {path} missing; "
+                          "random speaker-encoder weights")
+                self._spk_vars = self._spk_enc.init(
+                    jax.random.PRNGKey(0), probe)
+        if self._emo_vars is None:
+            path = self.cfg.get("emotion_encoder_path") or ""
+            if path and os.path.exists(path):
+                self._emo_vars = load_ge2e_checkpoint(path)
+            else:
+                if path:
+                    print(f"| WARN: emotion_encoder_path {path} missing; "
+                          "random emotion-encoder weights")
+                self._emo_vars = self._emo_enc.init(
+                    jax.random.PRNGKey(1), probe)
 
     # ------------------------------------------------------------- process
     def process(self) -> None:

@@ -26,7 +26,7 @@ from stylesinger_tpu.dsp.mel import load_wav, save_wav, wav2spec_np
 from stylesinger_tpu.dsp.pitch import extract_pitch, norm_interp_f0_np
 from stylesinger_tpu.text import TokenTextEncoder, build_token_encoder
 from stylesinger_tpu.models.encoders import (
-    GE2E_SR, UtteranceEncoder, ge2e_mel_np,
+    GE2E_SR, UtteranceEncoder, preprocess_wav,
 )
 
 
@@ -102,9 +102,39 @@ class StyleSingerInfer:
             {"params": self._rng, "noise": self._rng},
             jnp.zeros((1, 16, self.cfg["audio_num_mel_bins"])),
             jnp.full((1, 16), 200.0))
+        self._init_encoders()
+
+    def _init_encoders(self) -> None:
+        """d-vector encoder weights: pretrained when the config points at
+        checkpoints (reference ``emotion_encoder_path`` hparam +
+        resemblyzer's bundled ``pretrained.pt``), random otherwise.
+
+        The reference's zero-shot transfer depends on the *pretrained*
+        GE2E emotion encoder (``data_gen/tts/emotion/inference.py:15-34``)
+        and resemblyzer speaker encoder
+        (``inference/StyleSinger.py:100-106``)."""
+        import jax
+        import jax.numpy as jnp
+
+        from stylesinger_tpu.convert import load_ge2e_checkpoint
+
         probe = jnp.zeros((1, 160, 40))
-        self.spk_variables = self.spk_encoder.init(self._rng, probe)
-        self.emo_variables = self.emo_encoder.init(self._rng, probe)
+        spk_path = self.cfg.get("speaker_encoder_path") or ""
+        emo_path = self.cfg.get("emotion_encoder_path") or ""
+        if spk_path and os.path.exists(spk_path):
+            self.spk_variables = load_ge2e_checkpoint(spk_path)
+        else:
+            if spk_path:
+                print(f"| WARN: speaker_encoder_path {spk_path} not found;"
+                      " using random speaker-encoder weights")
+            self.spk_variables = self.spk_encoder.init(self._rng, probe)
+        if emo_path and os.path.exists(emo_path):
+            self.emo_variables = load_ge2e_checkpoint(emo_path)
+        else:
+            if emo_path:
+                print(f"| WARN: emotion_encoder_path {emo_path} not found;"
+                      " using random emotion-encoder weights")
+            self.emo_variables = self.emo_encoder.init(self._rng, probe)
 
     def load_params(self, state_or_dir) -> None:
         """Load acoustic params from a TrainState, a work dir containing
@@ -169,17 +199,24 @@ class StyleSingerInfer:
             ref_f0_raw, pitch_norm=c["pitch_norm"], use_uv=c["use_uv"],
             f0_mean=c["f0_mean"], f0_std=c["f0_std"])
 
-        # 16 kHz GE2E front-end for the d-vector encoders
+        # d-vector encoders (GE2E front-end)
         if self.spk_variables is None:
             self.init_random()
-        t16 = np.arange(int(len(wav48) * GE2E_SR / c["audio_sample_rate"]))
-        wav16 = np.interp(t16 * (c["audio_sample_rate"] / GE2E_SR),
-                          np.arange(len(wav48)), wav48).astype(np.float32)
-        mel16 = ge2e_mel_np(wav16)
-        spk_embed = self.spk_encoder.embed_utterance(self.spk_variables,
-                                                     mel16)
-        emo_embed = self.emo_encoder.embed_utterance(self.emo_variables,
-                                                     mel16)
+        # speaker: the reference feeds the NATIVE-rate wav straight into
+        # resemblyzer's 16 kHz front-end (inference/StyleSinger.py:100-104,
+        # no resample/preprocess) — kept behind a flag for checkpoint
+        # parity; disable for a spectrally correct 16 kHz path.
+        if c.get("spk_embed_at_native_rate", True):
+            spk_wav = spec["wav"].astype(np.float32)
+        else:
+            spk_wav = preprocess_wav(spec["wav"], c["audio_sample_rate"])
+        spk_embed = self.spk_encoder.embed_utterance(
+            self.spk_variables, spk_wav, project=True)
+        # emotion: polyphase resample -> -30 dBFS -> VAD trim, then the
+        # unprojected GE2E path (reference inference.py:112-155 + audio.py)
+        wav16 = preprocess_wav(spec["wav"], c["audio_sample_rate"])
+        emo_embed = self.emo_encoder.embed_utterance(
+            self.emo_variables, wav16, project=False)
         return dict(
             txt_tokens=ph_tokens[None], ref_mels=ref_mel[None],
             ref_f0=ref_f0[None], spk_embed=spk_embed[None],

@@ -225,8 +225,7 @@ class Trainer:
             for k, v in m.items():
                 window_losses.setdefault(k, []).append(v)
             if step % c["tb_log_interval"] == 0:
-                logged = {k: float(np.mean([np.asarray(x) for x in v]))
-                          for k, v in window_losses.items()}
+                logged = self._drain_window(window_losses)
                 logged["steps_per_sec"] = c["tb_log_interval"] / \
                     max(time.time() - t0, 1e-9)
                 t0 = time.time()
@@ -243,6 +242,31 @@ class Trainer:
                                              phase)
                 self.ckpt.save(step, state, val_loss)
         return step, state
+
+    @staticmethod
+    def _drain_window(window_losses: Dict[str, list]) -> Dict[str, float]:
+        """Average the logging window's metrics with ONE device→host pull.
+
+        Each train step leaves ~14 scalar device arrays in the window;
+        fetching them one `np.asarray` at a time costs a full transfer
+        round trip per scalar, which through a remote PJRT tunnel dominates
+        the step loop (~0.2 s/step measured at tb_log_interval=50). A
+        single on-device `jnp.stack` collapses the whole window into one
+        array pull."""
+        keys = sorted(window_losses)
+        flat = [v for k in keys for v in window_losses[k]]
+        try:
+            vals = np.asarray(jnp.stack(
+                [jnp.asarray(v, jnp.float32) for v in flat]))
+        except Exception:  # ragged/host-only values: fall back per-scalar
+            vals = np.array([float(np.asarray(v)) for v in flat],
+                            np.float32)
+        logged, i = {}, 0
+        for k in keys:
+            n = len(window_losses[k])
+            logged[k] = float(vals[i:i + n].mean())
+            i += n
+        return logged
 
     # ------------------------------------------------------------------
     def validate(self, state, batches: Iterable[Dict], step: int,

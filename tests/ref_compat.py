@@ -34,6 +34,19 @@ def setup_reference():
     import scipy.signal
     if not hasattr(scipy.signal, "kaiser"):
         scipy.signal.kaiser = scipy.signal.windows.kaiser
+    # scipy >= 1.15 removed scipy.ndimage.morphology (emotion audio.py)
+    import scipy.ndimage
+    if "scipy.ndimage.morphology" not in sys.modules:
+        morph = types.ModuleType("scipy.ndimage.morphology")
+        morph.binary_dilation = scipy.ndimage.binary_dilation
+        sys.modules["scipy.ndimage.morphology"] = morph
+    # `from matplotlib import cm` (emotion inference.py) needs the attr
+    mpl = sys.modules.get("matplotlib")
+    if mpl is not None and not hasattr(mpl, "cm"):
+        cm = types.ModuleType("matplotlib.cm")
+        cm.get_cmap = lambda *a, **k: None
+        mpl.cm = cm
+        sys.modules["matplotlib.cm"] = cm
     # utils/cwt.py does `from pycwt import wavelet`
     if "pycwt" in sys.modules and not hasattr(sys.modules["pycwt"],
                                               "wavelet"):

@@ -113,15 +113,21 @@ def test_pitch_extractor(tiny_cfg):
 # ------------------------------------------------------------------- ge2e
 
 def test_ge2e_embed_and_loss(rng):
-    mel = rng.standard_normal((200, 40)).astype(np.float32)
+    wav = (0.1 * rng.standard_normal(16000 * 2)).astype(np.float32)
     enc = UtteranceEncoder(hidden_size=32, embed_size=16)
     v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 40)))
-    e = enc.embed_utterance(v, mel)
+    # speaker path: projected, unit-norm, embed_size-dim
+    e = enc.embed_utterance(v, wav, project=True)
     assert e.shape == (16,)
     np.testing.assert_allclose(np.linalg.norm(e), 1.0, rtol=1e-4)
-    slices = compute_partial_slices(400)
-    assert slices[0] == (0, 160)
-    assert all(e - s == 160 for s, e in slices)
+    # emotion path: raw last hidden (hidden_size-dim), unit-norm after mean
+    e_raw = enc.embed_utterance(v, wav, project=False)
+    assert e_raw.shape == (32,)
+    np.testing.assert_allclose(np.linalg.norm(e_raw), 1.0, rtol=1e-4)
+
+    wav_slices, mel_slices = compute_partial_slices(16000 * 2)
+    assert all(s.stop - s.start == 160 for s in mel_slices)
+    assert all(s.stop - s.start == 160 * 160 for s in wav_slices)
 
     embeds = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 16))
     embeds = embeds / jnp.linalg.norm(embeds, axis=-1, keepdims=True)
@@ -130,11 +136,59 @@ def test_ge2e_embed_and_loss(rng):
 
 
 def test_ge2e_mel_frontend():
+    """Power-mel front-end matches torch.stft with librosa-0.8 semantics
+    (centered reflect pad, hann 400/160, |.|^2 @ Slaney mel) — the
+    resemblyzer/emotion mel is NOT log-scaled (reference audio.py:43-57)."""
+    torch = pytest.importorskip("torch")
     sr = 16000
-    wav = _sine(300.0, sr, 0.5)
+    wav = _sine(300.0, sr, 0.5) + 0.01 * np.random.default_rng(0) \
+        .standard_normal(8000).astype(np.float32)
     mel = ge2e_mel_np(wav)
     assert mel.shape[1] == 40
-    assert np.isfinite(mel).all()
+    assert np.isfinite(mel).all() and (mel >= 0).all()
+
+    spec = torch.stft(torch.from_numpy(wav), n_fft=400, hop_length=160,
+                      window=torch.hann_window(400, periodic=True),
+                      center=True, pad_mode="reflect",
+                      return_complex=True)
+    power = (spec.abs() ** 2).numpy().T          # [T, 201]
+    from stylesinger_tpu.dsp.mel import mel_filterbank
+    golden = power @ mel_filterbank(sr, 400, 40, 0.0, sr / 2).T
+    assert mel.shape[0] == golden.shape[0]
+    np.testing.assert_allclose(mel, golden, atol=1e-3, rtol=1e-3)
+
+
+def test_resample_wav_vs_scipy():
+    """Own polyphase kaiser resampler matches scipy.signal.resample_poly
+    (the VERDICT-prescribed golden) for the 48k->16k and 24k->16k paths."""
+    from scipy.signal import resample_poly
+
+    from stylesinger_tpu.models.encoders import resample_wav
+
+    rng = np.random.default_rng(3)
+    for orig_sr in (48000, 24000):
+        wav = rng.standard_normal(orig_sr // 2).astype(np.float32)
+        ours = resample_wav(wav, orig_sr, 16000)
+        golden = resample_poly(wav.astype(np.float64), 16000 // 8000,
+                               orig_sr // 8000)
+        assert ours.shape == golden.shape
+        np.testing.assert_allclose(ours, golden, atol=5e-4)
+
+
+def test_preprocess_wav_pipeline():
+    from stylesinger_tpu.models.encoders import preprocess_wav
+
+    rng = np.random.default_rng(4)
+    sr = 48000
+    # voiced burst surrounded by long silence: trim should shorten it
+    sig = np.concatenate([
+        np.zeros(sr), 0.3 * rng.standard_normal(sr).astype(np.float32),
+        np.zeros(sr)]).astype(np.float32)
+    out = preprocess_wav(sig, sr)
+    assert out.dtype == np.float32
+    assert len(out) < len(sig) * 16000 // 48000
+    rms_db = 20 * np.log10(np.sqrt(np.mean(out ** 2)) + 1e-12)
+    assert rms_db > -35.0          # volume-normalized toward -30 dBFS
 
 
 # ---------------------------------------------------------------- vocoder

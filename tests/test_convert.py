@@ -451,3 +451,78 @@ def test_shallow_schedule_parity(hp):
            atol=1e-6)
     _close(sched.posterior_mean_coef2,
            ref.posterior_mean_coef2.float().numpy(), atol=1e-6)
+
+
+# ------------------------------------------------------------ GE2E encoders
+
+def test_ge2e_encoder_parity(hp, rng):
+    """Converted 3-layer LSTM + projection matches the actual reference
+    EmotionEncoder (data_gen/tts/emotion/model.py:11-77) on both its
+    paths: training `forward` (linear+ReLU+L2, the resemblyzer speaker
+    inference path) and `inference` (raw last hidden, the emotion path)."""
+    from data_gen.tts.emotion.model import EmotionEncoder as RefEmo
+
+    from stylesinger_tpu.models.encoders import UtteranceEncoder
+
+    cpu = torch.device("cpu")
+    ref = RefEmo(cpu, cpu).eval()
+    variables = cv.convert_ge2e_encoder(ref.state_dict())
+    enc = UtteranceEncoder(hidden_size=256, embed_size=256, num_layers=3)
+
+    mels = rng.standard_normal((3, 160, 40)).astype(np.float32)
+    with torch.no_grad():
+        ref_proj = ref.forward(_t(mels)).numpy()
+        ref_raw = ref.inference(_t(mels)).numpy()
+    out_proj = enc.apply(variables, jnp.asarray(mels), project=True)
+    out_raw = enc.apply(variables, jnp.asarray(mels), project=False)
+    _close(out_proj, ref_proj, atol=1e-4)
+    _close(out_raw, ref_raw, atol=1e-4)
+
+
+def test_ge2e_embed_utterance_parity(hp, rng):
+    """Full embed_utterance pipeline (partial slicing + batching + mean +
+    L2) matches the reference data_gen/tts/emotion/inference.py:112-155
+    driving the actual torch model, sharing the mel front-end so the test
+    isolates the slicing/LSTM/averaging math."""
+    import data_gen.tts.emotion.inference as ref_inf
+    from data_gen.tts.emotion import audio as ref_audio
+    from data_gen.tts.emotion.model import EmotionEncoder as RefEmo
+
+    from stylesinger_tpu.models import encoders as enc_mod
+
+    cpu = torch.device("cpu")
+    torch.manual_seed(7)
+    model = RefEmo(cpu, cpu).eval()
+    ref_inf._model = model
+    ref_inf._device = cpu
+    orig_mel = ref_audio.wav_to_mel_spectrogram
+    ref_audio.wav_to_mel_spectrogram = enc_mod.ge2e_mel_np
+    try:
+        wav = (0.1 * rng.standard_normal(16000 * 3 + 1234)) \
+            .astype(np.float32)
+        with torch.no_grad():
+            ref_embed = ref_inf.embed_utterance(wav, using_partials=True)
+    finally:
+        ref_audio.wav_to_mel_spectrogram = orig_mel
+
+    enc = enc_mod.UtteranceEncoder()
+    variables = cv.convert_ge2e_encoder(model.state_dict())
+    ours = enc.embed_utterance(variables, wav, project=False)
+    _close(ours, ref_embed, atol=1e-4)
+
+
+def test_ge2e_partial_slices_match_reference(hp):
+    """Sample-domain partial slicing (incl. the min_pad_coverage drop rule)
+    matches the reference compute_partial_slices (inference.py:59-110)."""
+    import data_gen.tts.emotion.inference as ref_inf
+
+    from stylesinger_tpu.models.encoders import compute_partial_slices
+
+    for n in (100, 16000, 16000 * 2 + 777, 25600, 25600 + 4000,
+              16000 * 10 + 3):
+        ref_w, ref_m = ref_inf.compute_partial_slices(n)
+        our_w, our_m = compute_partial_slices(n)
+        assert [(s.start, s.stop) for s in ref_m] == \
+            [(s.start, s.stop) for s in our_m], n
+        assert [(s.start, s.stop) for s in ref_w] == \
+            [(s.start, s.stop) for s in our_w], n
