@@ -367,18 +367,29 @@ def load_config(path: Optional[str] = None, overrides: str = "",
     cfg = Config(json.loads(json.dumps(DEFAULTS)))  # deep copy of defaults
     if path is not None:
         _deep_merge(cfg, _load_yaml_cascade(path))
+    explicit = {p.split("=", 1)[0].strip()
+                for p in re.split(r",(?![^\[\(]*[\]\)])", overrides)
+                if p.strip() and "=" in p}
+    explicit |= set(kwargs)
     apply_overrides(cfg, overrides)
     cfg.update(kwargs)
-    apply_spec_stats(cfg)
+    apply_spec_stats(cfg, explicit)
     return cfg
 
 
-def apply_spec_stats(cfg: Config) -> Config:
+def apply_spec_stats(cfg: Config, explicit: Optional[set] = None) -> Config:
     """Opt-in per-dataset diffusion bounds: when ``use_data_spec_stats`` is
     true and the binarizer wrote ``<binary_data_dir>/spec_stats.json``
     (per-bin train-mel min/max), swap them in for the hand-made yaml tables
-    the reference ships (egs/stylesinger.yaml:142-143)."""
+    the reference ships (egs/stylesinger.yaml:142-143).
+
+    Explicit ``spec_min``/``spec_max`` overrides or kwargs win over the
+    data stats (``explicit`` = keys the user set on the CLI/call)."""
     if not cfg.get("use_data_spec_stats"):
+        return cfg
+    if explicit and ("spec_min" in explicit or "spec_max" in explicit):
+        print("| spec_min/spec_max set explicitly; skipping "
+              "spec_stats.json swap")
         return cfg
     fn = os.path.join(cfg.get("binary_data_dir", ""), "spec_stats.json")
     if os.path.exists(fn):

@@ -238,7 +238,8 @@ class FFTDenoiser(nn.Module):
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray, t: jnp.ndarray,
-                 cond: jnp.ndarray) -> jnp.ndarray:
+                 cond: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
         from stylesinger_tpu.models.common import FastspeechDecoder
 
         dim = self.residual_channels
@@ -255,5 +256,5 @@ class FFTDenoiser(nn.Module):
         h = FastspeechDecoder(
             self.hidden_size, self.num_layers, self.kernel_size,
             num_heads=self.num_heads, dropout=self.dropout,
-            name="decoder")(h, nonpadding, deterministic=True)
+            name="decoder")(h, nonpadding, deterministic=deterministic)
         return nn.Dense(self.in_dims, name="get_mel_out")(h)

@@ -326,7 +326,8 @@ class StyleSinger(nn.Module):
                          deterministic=deterministic)
         return self.mel_out(x) * tgt_nonpadding[..., None]
 
-    def run_diffsinger(self, ref_mels, ret, tgt_nonpadding, *, infer: bool):
+    def run_diffsinger(self, ref_mels, ret, tgt_nonpadding, *, infer: bool,
+                       deterministic: bool = True):
         """Shallow-diffusion mel post-net (reference stylesinger.py:313-331;
         shallow_diffusion_tts.py:284-307)."""
         c = self.cfg
@@ -346,6 +347,11 @@ class StyleSinger(nn.Module):
         cond = self.ln_proj(jnp.concatenate(feats, axis=-1))
 
         def denoise_fn(x_t, t):
+            if isinstance(self.postdiff, FFTDenoiser):
+                # the FFT denoiser carries dropout (reference
+                # candidate_decoder.py:80 runs it in train mode)
+                return self.postdiff(x_t, t, cond,
+                                     deterministic=deterministic)
             return self.postdiff(x_t, t, cond)
 
         rng = self.make_rng("diffusion")
@@ -461,22 +467,26 @@ class StyleSinger(nn.Module):
 
         if c["decoder"] == "prodiff":
             self.run_prodiff(decoder_inp, ref_mels, ret, tgt_nonpadding,
-                             infer=infer)
+                             infer=infer, deterministic=deterministic)
             return ret
         ret["mel_out"] = self.run_decoder(decoder_inp, tgt_nonpadding,
                                           deterministic)
         if c["decoder"] == "diffsinger" and use_diff:
-            self.run_diffsinger(ref_mels, ret, tgt_nonpadding, infer=infer)
+            self.run_diffsinger(ref_mels, ret, tgt_nonpadding, infer=infer,
+                                deterministic=deterministic)
         return ret
 
     def run_prodiff(self, decoder_inp, ref_mels, ret, tgt_nonpadding, *,
-                    infer: bool):
+                    infer: bool, deterministic: bool = True):
         """x0-parameterized few-step diffusion decoder (reference
         modules/diff/prodiff.py:194-224; wired at stylesinger.py:178-179).
         Replaces the FFT decoder entirely; cond is ``decoder_inp``."""
         c = self.cfg
 
         def denoise_fn(x_t, t):
+            if isinstance(self.postdiff, FFTDenoiser):
+                return self.postdiff(x_t, t, decoder_inp,
+                                     deterministic=deterministic)
             return self.postdiff(x_t, t, decoder_inp)
 
         rng = self.make_rng("diffusion")

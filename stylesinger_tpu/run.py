@@ -101,6 +101,12 @@ def main() -> None:
                            max_tokens=cfg["max_valid_tokens"],
                            max_sentences=cfg["max_valid_sentences"])
         batches = list(bb.batches(0))
+        if trainer.ckpt.latest_step() is None:
+            raise SystemExit(
+                f"| ERROR: no checkpoint under {work_dir}/ckpt — refusing "
+                "to synthesize test artifacts from random weights. Train "
+                "first (run.py train) or point --work_dir at a trained "
+                "experiment.")
         state = init_state(model, cfg, trainer._numeric(batches[0]),
                            trainer.rng)
         state, step = trainer.ckpt.restore(state)

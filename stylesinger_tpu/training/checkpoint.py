@@ -35,6 +35,7 @@ class CheckpointManager:
         self.keep = keep
         self.save_best = save_best
         self._best: Optional[float] = None
+        self._best_locked = False  # existing best copy with unknown metric
         if _HAS_ORBAX:
             # NOTE: the periodic manager must NOT get a best_fn — orbax then
             # prunes to the best-K *by metric* and deletes the latest step,
@@ -57,6 +58,14 @@ class CheckpointManager:
                         self._best = float(m["val_loss"]) if m else None
                     except Exception:
                         self._best = None
+                    if self._best is None:  # orbax metrics unreadable:
+                        self._best = self._read_best_sidecar()
+                    if self._best is None:
+                        # a best copy exists but its metric is unknowable —
+                        # refuse to overwrite it with a possibly-worse one
+                        print("| WARN: best checkpoint metric unreadable; "
+                              "keeping the existing best copy untouched")
+                        self._best_locked = True
         else:
             self._mgr = None
             self._best_mgr = None
@@ -70,12 +79,14 @@ class CheckpointManager:
                        "step": np.asarray(step)}
             self._mgr.save(step, args=ocp.args.StandardSave(payload))
             if self._best_mgr is not None and val_loss is not None and \
+                    not self._best_locked and \
                     (self._best is None or float(val_loss) < self._best):
                 self._best = float(val_loss)
                 self._best_mgr.save(
                     step, args=ocp.args.StandardSave(payload),
                     metrics={"val_loss": self._best})
                 self._best_mgr.wait_until_finished()
+                self._write_best_sidecar(step, self._best)
             self._mgr.wait_until_finished()
         else:  # pragma: no cover - fallback without orbax
             import pickle
@@ -85,6 +96,29 @@ class CheckpointManager:
                     {"params": state.params, "codebook": state.codebook,
                      "opt_state": state.opt_state, "step": step}), f)
             os.replace(path + ".part", path)
+
+    # sidecar: durable val_loss record next to the best copy, so a resume
+    # still knows the baseline when orbax metrics are unreadable (else the
+    # next validation would overwrite the best copy unconditionally)
+    def _sidecar_path(self) -> str:
+        return os.path.join(self.best_dir, "best_val.json")
+
+    def _write_best_sidecar(self, step: int, val_loss: float) -> None:
+        import json
+        try:
+            with open(self._sidecar_path(), "w") as f:
+                json.dump({"step": int(step), "val_loss": float(val_loss)},
+                          f)
+        except OSError:  # never fail a save over bookkeeping
+            pass
+
+    def _read_best_sidecar(self) -> Optional[float]:
+        import json
+        try:
+            with open(self._sidecar_path()) as f:
+                return float(json.load(f)["val_loss"])
+        except Exception:
+            return None
 
     # ----------------------------------------------------------- restore
     def latest_step(self) -> Optional[int]:

@@ -112,3 +112,31 @@ def test_test_runner_writes_artifacts(tmp_path, tiny_cfg, rng):
     assert os.path.exists(os.path.join(gen_dir, "result_f0s.npy"))
     rows = open(os.path.join(gen_dir, "meta.csv")).read().strip().split("\n")
     assert len(rows) >= 2  # header + >=1 item
+
+
+def test_best_baseline_survives_reopen(tmp_path, tiny_cfg, rng):
+    """ADVICE r1: on resume the best-val baseline must be recovered (orbax
+    metrics or the best_val.json sidecar) so a worse validation can never
+    overwrite the best copy."""
+    import json
+    import os
+
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _batch(cfg, rng)
+    batch.pop("nsamples")
+    state = init_state(model, cfg, batch)
+
+    mgr = CheckpointManager(str(tmp_path), keep=2, save_best=True)
+    mgr.save(100, state, val_loss=0.5)
+    sidecar = os.path.join(str(tmp_path), "ckpt_best", "best_val.json")
+    assert json.load(open(sidecar))["val_loss"] == 0.5
+
+    # reopen (simulated resume): baseline known again, worse val refused
+    mgr2 = CheckpointManager(str(tmp_path), keep=2, save_best=True)
+    assert mgr2._best == 0.5
+    mgr2.save(200, state, val_loss=0.9)
+    assert mgr2.best_step() == 100
+    mgr2.save(300, state, val_loss=0.3)
+    assert mgr2.best_step() == 300

@@ -66,3 +66,21 @@ def test_egs_recipe_cascade():
     assert cfg["max_updates"] == 320000       # from config_base.yaml
     assert cfg["f0_gen"] == "gmdiff"          # from stylesinger.yaml
     assert cfg["nRQ"] == 128
+
+
+def test_explicit_spec_override_beats_data_stats(tmp_path):
+    """ADVICE r1: --hparams spec_min/spec_max must win over the binarizer's
+    spec_stats.json even when use_data_spec_stats is on."""
+    import json
+    import os
+
+    from stylesinger_tpu.config import load_config
+
+    bin_dir = str(tmp_path)
+    with open(os.path.join(bin_dir, "spec_stats.json"), "w") as f:
+        json.dump({"spec_min": [-1.0], "spec_max": [1.0]}, f)
+    cfg = load_config(overrides=f"spec_min=[-9.0],spec_max=[9.0]",
+                      binary_data_dir=bin_dir, use_data_spec_stats=True)
+    assert cfg["spec_min"] == [-9.0] and cfg["spec_max"] == [9.0]
+    cfg2 = load_config(binary_data_dir=bin_dir, use_data_spec_stats=True)
+    assert cfg2["spec_min"] == [-1.0] and cfg2["spec_max"] == [1.0]

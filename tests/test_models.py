@@ -457,3 +457,25 @@ def test_stylesinger_fft_denoiser_decoder(tiny_cfg):
         infer=True, max_frames=48, rngs={"diffusion": KEY, "rq": KEY})
     assert ret_i["mel_out"].shape == (2, 48, cfg["audio_num_mel_bins"])
     assert np.isfinite(np.asarray(ret_i["mel_out"])).all()
+
+
+def test_fft_denoiser_dropout_gated_by_deterministic():
+    """ADVICE r1: the FFT denoiser's dropout must be live in training mode
+    (reference candidate_decoder.py:80) and off at inference."""
+    from stylesinger_tpu.models.diffnet import FFTDenoiser
+
+    net = FFTDenoiser(in_dims=8, hidden_size=16, residual_channels=16,
+                      num_layers=1, kernel_size=3, num_heads=2, dropout=0.5)
+    x = jnp.ones((1, 12, 8))
+    t = jnp.zeros((1,), jnp.int32)
+    cond = jnp.ones((1, 12, 16))
+    v = net.init({"params": KEY, "dropout": KEY}, x, t, cond)
+    det = net.apply(v, x, t, cond, deterministic=True)
+    a = net.apply(v, x, t, cond, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+    b = net.apply(v, x, t, cond, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    # deterministic path is rng-free and repeatable; train path varies
+    np.testing.assert_array_equal(np.asarray(det),
+                                  np.asarray(net.apply(v, x, t, cond)))
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
