@@ -30,6 +30,12 @@ from stylesinger_tpu.models.encoders import (
 )
 
 
+def _fit_bucket(n: int, buckets) -> int:
+    """Smallest bucket >= n; n itself when nothing fits (recompile)."""
+    fits = [b for b in buckets if b >= n]
+    return min(fits) if fits else n
+
+
 class StyleSingerInfer:
     def __init__(self, cfg: Config, work_dir: Optional[str] = None,
                  phone_list: Optional[list] = None):
@@ -268,8 +274,13 @@ class StyleSingerInfer:
 
         batches = [self.preprocess_input(inp) for inp in inps]
         n = len(batches)
-        t_txt = max(b["txt_tokens"].shape[1] for b in batches)
-        t_ref = max(b["ref_mels"].shape[1] for b in batches)
+        # bucket-aware serving: pad to the smallest configured bucket that
+        # fits the request group, so XLA sees a handful of shapes across
+        # traffic instead of one compile per request mix
+        t_txt = _fit_bucket(max(b["txt_tokens"].shape[1] for b in batches),
+                            self.cfg.get("token_buckets", ()))
+        t_ref = _fit_bucket(max(b["ref_mels"].shape[1] for b in batches),
+                            self.cfg.get("frame_buckets", ()))
 
         def pad(x, length, axis=1):
             width = [(0, 0)] * x.ndim

@@ -43,7 +43,9 @@ class UMLN(nn.Module):
         rng_coin, rng_beta, rng_gamma = jax.random.split(rng, 3)
 
         mu = jnp.mean(x, axis=-1, keepdims=True)
-        sig = jnp.std(x, axis=-1, keepdims=True)
+        # torch.std defaults to the unbiased estimator (ddof=1) — matching
+        # it matters for exact train-mode parity
+        sig = jnp.std(x, axis=-1, keepdims=True, ddof=1)
         x_normed = (x - mu) / (sig + self.eps)
 
         stats = affine(style_embed)                     # [B, 1, 2H]

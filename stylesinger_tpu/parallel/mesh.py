@@ -19,11 +19,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def init_distributed() -> None:
-    """Multi-host initialization (v5e slices): call once per process before
-    any jax op. No-op when single-process (the common case here)."""
-    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
-        jax.distributed.initialize()
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host initialization (v5e slices / DCN): call once per process
+    before any jax op; returns True when the distributed service was
+    started. The NCCL-analogue of the reference's
+    ``dist.init_process_group`` (utils/trainer.py:460-464).
+
+    Topology comes from args or env (``JAX_COORDINATOR_ADDRESS``,
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``); on TPU pods all three are
+    auto-detected by jax and only the call itself is needed. No-op when no
+    coordinator is configured (single-process, the common case here) or
+    when already initialized."""
+    coordinator_address = coordinator_address or \
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return False
+    # NB: must not touch the backend (jax.devices/process_count) before
+    # initialize() — probe the distributed client state directly
+    try:
+        already = bool(jax.distributed.is_initialized())
+    except AttributeError:  # older jax
+        from jax._src import distributed as _dist
+        already = _dist.global_state.client is not None
+    if already:
+        return True
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

@@ -50,11 +50,6 @@ class BaseTxtProcessor:
 _INITIALS = ["zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l",
              "g", "k", "h", "j", "q", "x", "r", "z", "c", "s", "y", "w"]
 
-_DIGITS = "零一二三四五六七八九"
-_UNITS = ["", "十", "百", "千"]
-_BIG_UNITS = ["", "万", "亿"]
-
-
 def split_pinyin(syllable: str) -> List[str]:
     """'xiao' -> ['x', 'iao']; 'ang' -> ['ang']; keeps trailing tone digit
     on the final ('hao3' -> ['h', 'ao3'])."""
@@ -67,48 +62,17 @@ def split_pinyin(syllable: str) -> List[str]:
     return [s]
 
 
-def num_to_hanzi(num: str) -> str:
-    """Integer string -> hanzi reading (compact subset of the reference's
-    utils/text_norm.py NSW normalizer)."""
-    n = int(num)
-    if n == 0:
-        return _DIGITS[0]
-    parts: List[str] = []
-    big = 0
-    while n > 0:
-        seg = n % 10000
-        n //= 10000
-        if seg:
-            s = ""
-            zero_pending = False
-            for i in range(3, -1, -1):
-                d = (seg // 10 ** i) % 10
-                if d == 0:
-                    if s:
-                        zero_pending = True
-                    continue
-                if zero_pending:
-                    s += _DIGITS[0]
-                    zero_pending = False
-                s += _DIGITS[d] + _UNITS[i]
-            # 一十X -> 十X
-            if s.startswith("一十"):
-                s = s[1:]
-            parts.append(s + _BIG_UNITS[big])
-        elif parts:
-            parts.append(_DIGITS[0])
-        big += 1
-    out = "".join(reversed(parts))
-    return re.sub(f"{_DIGITS[0]}+", _DIGITS[0], out).rstrip(_DIGITS[0]) \
-        if len(out) > 1 else out
+# full NSW engine (dates, money, phones, fractions, percent, digit
+# strings — the reference's complete utils/text_norm.py rule set)
+from stylesinger_tpu.text_norm_zh import (  # noqa: E402
+    NSWNormalizer, hanzi_to_num, num_to_hanzi,
+)
 
 
 def normalize_zh(text: str) -> str:
-    """Numbers/percent normalization (reduced utils/text_norm.py)."""
-    text = re.sub(r"(\d+)%", lambda m: "百分之" + num_to_hanzi(m.group(1)),
-                  text)
-    text = re.sub(r"\d+", lambda m: num_to_hanzi(m.group(0)), text)
-    return text
+    """Full NSW normalization, punctuation preserved (the zh g2p pipeline
+    strips it separately — reference txt_processors/zh.py:15-26)."""
+    return NSWNormalizer(text).normalize(remove_punc=False)
 
 
 @register_txt_processors("zh")

@@ -109,6 +109,57 @@ class MetricsWriter:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
 
+    # media summaries — the reference's TensorBoard workflow (validation
+    # mel/f0 figures + vocoded audio, tasks/StyleSinger/stylesinger.py:
+    # 92-151, tasks/base_task.py:177-181)
+    def write_image(self, tag: str, image, step: int) -> None:
+        """image: [H, W, C] uint8/float array."""
+        if self._tb is not None and image is not None:
+            try:
+                self._tb.add_image(tag, np.asarray(image), step,
+                                   dataformats="HWC")
+            except Exception:
+                pass
+
+    def write_audio(self, tag: str, wav, step: int,
+                    sample_rate: int) -> None:
+        """wav: 1-D float array in [-1, 1]. Encoded with the stdlib wave
+        module (tensorboardX's own add_audio needs soundfile)."""
+        if self._tb is None or wav is None:
+            return
+        try:
+            import io
+            import wave as wave_mod
+
+            from tensorboardX.proto.summary_pb2 import Summary
+
+            pcm = (np.clip(np.asarray(wav, np.float32), -1.0, 1.0) *
+                   32767.0).astype("<i2")
+            buf = io.BytesIO()
+            with wave_mod.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(sample_rate)
+                f.writeframes(pcm.tobytes())
+            audio = Summary.Audio(
+                sample_rate=sample_rate, num_channels=1,
+                length_frames=len(pcm),
+                encoded_audio_string=buf.getvalue(),
+                content_type="audio/wav")
+            self._tb._get_file_writer().add_summary(
+                Summary(value=[Summary.Value(tag=tag, audio=audio)]), step)
+        except Exception:
+            pass
+
+    def flush(self) -> None:
+        if self._tb is not None:
+            self._tb.flush()
+
+    def close(self) -> None:
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+
 
 class Trainer:
     def __init__(self, model, cfg: Any, work_dir: str,
@@ -323,11 +374,16 @@ class Trainer:
         except Exception:
             np.save(os.path.join(out_dir, f"mel_{step}.npy"),
                     mel[: max(n, 1)])
-        figure_to_image(f0_to_figure(f0[: max(n, 1)]))
+        self.metrics.write_image("valid/mel", img, step)
+        f0_img = figure_to_image(f0_to_figure(f0[: max(n, 1)]))
+        self.metrics.write_image("valid/f0", f0_img, step)
         if self.vocoder is not None and n > 0:
             wav = self.vocoder.spec2wav(mel[:n], f0=f0[:n])
             save_wav(wav, os.path.join(out_dir, f"wav_{step}.wav"),
                      self.cfg["audio_sample_rate"])
+            self.metrics.write_audio("valid/wav", wav, step,
+                                     self.cfg["audio_sample_rate"])
+        self.metrics.flush()
 
     @staticmethod
     def _numeric(batch: Dict) -> Dict:

@@ -1,0 +1,112 @@
+"""2-process ``jax.distributed`` smoke test (VERDICT r1 #7).
+
+The reference only ever exercises its NCCL path on real multi-GPU boxes
+(``utils/trainer.py:460-464``); here the multi-process path is CI-testable:
+two CPU processes join through ``parallel.mesh.init_distributed`` (Gloo
+collectives), build one global ('data',) mesh spanning both, and run a
+jitted SGD step on globally-sharded data. Each process holds a *different*
+local shard; the asserted gradient equals the global-batch gradient, which is
+only possible if the cross-process reduction ran.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from stylesinger_tpu.parallel.mesh import (
+    batch_sharding, init_distributed, make_mesh, shard_batch,
+)
+
+started = init_distributed()
+assert started, "init_distributed must start the service from env vars"
+assert jax.process_count() == 2, jax.process_count()
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+pid = jax.process_index()
+mesh = make_mesh(n_model=1)
+assert mesh.shape["data"] == jax.device_count() == 4
+
+# global batch: process p holds rows with value (p+1); the *global* mean
+# gradient of 0.5*(w*x - y)^2 at w=0 mixes both processes' rows
+n_local = jax.local_device_count()
+x_local = np.full((n_local, 8), float(pid + 1), np.float32)
+y_local = np.full((n_local, 8), 2.0 * (pid + 1), np.float32)
+sh = batch_sharding(mesh)
+x = jax.make_array_from_process_local_data(sh, x_local)
+y = jax.make_array_from_process_local_data(sh, y_local)
+
+def loss_fn(w, x, y):
+    return 0.5 * jnp.mean((x * w - y) ** 2)
+
+@jax.jit
+def step(w, x, y):
+    l, g = jax.value_and_grad(loss_fn)(w, x, y)
+    return w - 0.1 * g, l, g
+
+w = jax.device_put(jnp.zeros(()), NamedSharding(mesh, P()))
+w, l, g = step(w, x, y)
+
+# analytic global grad at w=0: mean over BOTH shards of -x*y
+# rows of proc0: x=1,y=2 -> -2 ; proc1: x=2,y=4 -> -8 ; mean = -5
+np.testing.assert_allclose(float(g), -5.0, rtol=1e-6)
+np.testing.assert_allclose(float(w), 0.5, rtol=1e-6)
+# loss is the global mean too: (0.5*4 + 0.5*16)/2 = 5
+np.testing.assert_allclose(float(l), 5.0, rtol=1e-6)
+
+# replicated params must be identical on every process after the step
+print(f"DIST_OK pid={pid} w={float(w):.6f} grad={float(g):.6f}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_train_step(tmp_path):
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()}
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env_base["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env_base["JAX_NUM_PROCESSES"] = "2"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_base["PYTHONPATH"] = repo + os.pathsep + \
+        env_base.get("PYTHONPATH", "")
+
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"DIST_OK pid={pid}" in out, out
+    # both processes converged to the identical replicated weight
+    ws = sorted(line.split("w=")[1].split()[0]
+                for out in outs for line in out.splitlines()
+                if "DIST_OK" in line)
+    assert ws[0] == ws[1] == "0.500000"

@@ -53,15 +53,6 @@ def test_split_pinyin():
     assert split_pinyin("er") == ["er"]
 
 
-def test_num_to_hanzi():
-    from stylesinger_tpu.text_processors import num_to_hanzi
-    assert num_to_hanzi("0") == "零"
-    assert num_to_hanzi("15") == "十五"
-    assert num_to_hanzi("230") == "二百三十"
-    assert num_to_hanzi("1005") == "一千零五"
-    assert num_to_hanzi("20000") == "二万"
-
-
 def test_zh_processor():
     from stylesinger_tpu.text_processors import get_txt_processor_cls
     phs, norm = get_txt_processor_cls("zh").process("x iao AP j iu")
@@ -77,3 +68,106 @@ def test_en_processor():
     phs, norm = get_txt_processor_cls("en").process("hello world")
     assert len(phs) > 4
     assert "|" in phs
+
+
+# ------------------------------------------------- full ZH NSW normalizer
+
+def _ref_text_norm():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_text_norm", "/root/reference/utils/text_norm.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+NSW_SENTENCES = [
+    "固话：0595-23865596或23880880。",
+    "手机：+86 19859213959或15659451527。",
+    "分数：32477/76391。",
+    "百分数：80.03%。",
+    "编号：31520181154418。",
+    "纯数：2983.07克或12345.60米。",
+    "日期：1999年2月20日或09年3月15号。",
+    "金钱：12块5，34.5元，20.1万",
+    "特殊：O2O或B2C。",
+    "3456万吨",
+    "2938个",
+    "938",
+    "今天吃了115个小笼包231个馒头",
+    "有62％的概率",
+    "明天有62%的概率降雨",
+    "这块黄金重达324.75克",
+    "她出生于86年8月18日，她弟弟出生于1995年3月1日",
+    "电影中梁朝伟扮演的陈永仁的编号27149",
+    "现场有7/12的观众投出了赞成票",
+    "随便来几个价格12块5，34.5元，20.1万",
+    "明天如果有20%的概率降雨，就带伞",
+    "这是固话0421-33441122",
+    "这是手机+86 18544139121",
+    "价格是10000元整",
+    "共计1000000人参加",
+    "12.5%的学生及格了",
+    "一共2000个",
+    "大概3个月",
+]
+
+
+def test_nsw_normalizer_matches_reference():
+    """Table-driven: our full NSW normalizer must produce EXACTLY the
+    reference utils/text_norm.py output on a corpus of NSW sentences
+    (dates, money, phones, fractions, percent, digit strings, cardinals,
+    the letter-2-letter fixup, punctuation removal)."""
+    from stylesinger_tpu.text_norm_zh import NSWNormalizer
+
+    ref = _ref_text_norm()
+    for s in NSW_SENTENCES:
+        ours = NSWNormalizer(s).normalize()
+        theirs = ref.NSWNormalizer(s).normalize()
+        assert ours == theirs, f"{s!r}: {ours!r} != {theirs!r}"
+        ours_p = NSWNormalizer(s).normalize(remove_punc=False)
+        theirs_p = ref.NSWNormalizer(s).normalize(remove_punc=False)
+        assert ours_p == theirs_p, f"{s!r} (punc kept)"
+
+
+def test_num_to_hanzi_matches_reference_num2chn():
+    from stylesinger_tpu.text_norm_zh import num_to_hanzi
+
+    ref = _ref_text_norm()
+    cases = ["0", "5", "10", "15", "22", "100", "105", "200", "230", "938",
+             "1005", "1200", "2000", "10500", "20000", "12345", "99999",
+             "100000", "1000001", "35000000", "123456789", "0.5", "12.5",
+             "2983.07", "12345.60", "3456"]
+    for n in cases:
+        assert num_to_hanzi(n) == ref.num2chn(n), n
+        assert num_to_hanzi(n, per_digit=True, use_liang=False) == \
+            ref.num2chn(n, alt_two=False, use_units=False), f"digit {n}"
+
+
+def test_hanzi_to_num_matches_reference_chn2num():
+    from stylesinger_tpu.text_norm_zh import hanzi_to_num, num_to_hanzi
+
+    ref = _ref_text_norm()
+    texts = ["零", "五", "十", "十五", "二十二", "一百", "一百零五",
+             "两百", "九百三十八", "一千零五", "一千两百", "两千",
+             "一万零五百", "两万", "一万二", "一百八", "三千五百万",
+             "两千万", "十二点五", "零点五", "一亿零三百万"]
+    for t in texts:
+        assert hanzi_to_num(t) == ref.chn2num(t), t
+    # round trip through the reading direction
+    for n in ["938", "1005", "20000", "35000000", "12.5"]:
+        assert hanzi_to_num(num_to_hanzi(n)) == n, n
+
+
+def test_updated_num_expectations():
+    """The full engine reads 2 as 两 before 百/千/万 (reference behavior,
+    superseding the round-1 reduced normalizer)."""
+    from stylesinger_tpu.text_processors import normalize_zh, num_to_hanzi
+
+    assert num_to_hanzi("0") == "零"
+    assert num_to_hanzi("15") == "十五"
+    assert num_to_hanzi("230") == "两百三十"
+    assert num_to_hanzi("1005") == "一千零五"
+    assert num_to_hanzi("20000") == "两万"
+    assert "百分之一百" in normalize_zh("100%")
+    assert "百分之八十点零三" in normalize_zh("百分数：80.03%。")
