@@ -204,10 +204,16 @@ def autocorr_pitch(wav: jnp.ndarray, *, hop_size: int = 256,
     log_f0 = jnp.where(all_f0 > 0, jnp.log2(jnp.maximum(all_f0, 1e-6)), 0.0)
     is_voiced = all_f0 > 0
 
+    # Praat normalizes transition costs to a 10 ms step: costs are
+    # multiplied by 0.01/dt (Pitch_pathFinder's timeStepCorrection), so a
+    # finer hop pays proportionally more per transition
+    ts_corr = 0.01 * sample_rate / hop_size
+
     def trans_cost(f_prev, v_prev, f_cur, v_cur):
         both = v_prev & v_cur
-        octave = _OCTAVE_JUMP_COST * jnp.abs(f_prev - f_cur)
-        switch = jnp.where(v_prev ^ v_cur, _VOICED_UNVOICED_COST, 0.0)
+        octave = _OCTAVE_JUMP_COST * ts_corr * jnp.abs(f_prev - f_cur)
+        switch = jnp.where(v_prev ^ v_cur,
+                           _VOICED_UNVOICED_COST * ts_corr, 0.0)
         return jnp.where(both, octave, switch)
 
     def step(carry, inp):
