@@ -8,8 +8,13 @@ Parity targets (AaronZ345/StyleSinger):
   pypinyin's initial/final tables (pypinyin itself is only needed for raw
   hanzi input and is loaded lazily when present);
 - en: g2p_en (``txt_processors/en.py:44-80``); without the CMU dict in the
-  image, a deterministic letter-to-sound fallback keeps the pipeline
-  runnable (ARPAbet-ish units), and g2p_en is used when importable.
+  image, the fallback is an embedded ~250-word high-frequency/irregular
+  lexicon + a context-sensitive letter-to-sound rule engine (suffix,
+  digraph, r-controlled, vowel-team, magic-e, soft-c/g rules → stressless
+  ARPAbet); g2p_en is used when importable.
+- zh_g2pM (``txt_processors/zh_g2pM.py``): per-character G2pM polyphone
+  disambiguation + jieba word bounds when those packages are present;
+  pinyin fallback keeps the ['|', '#'] separator contract.
 """
 
 from __future__ import annotations
@@ -102,32 +107,212 @@ class ZhTxtProcessor(BaseTxtProcessor):
 
 
 # ---------------------------------------------------------------------------
-# en
+# en: embedded lexicon + context-sensitive letter-to-sound rules
 # ---------------------------------------------------------------------------
 
-_EN_DIGRAPHS = {"ch": "CH", "sh": "SH", "th": "TH", "ph": "F", "ng": "NG",
-                "qu": "K W", "ck": "K", "wh": "W", "ee": "IY", "oo": "UW",
-                "ea": "IY", "ai": "EY", "ay": "EY", "ou": "AW", "ow": "OW"}
-_EN_SINGLE = {"a": "AE", "b": "B", "c": "K", "d": "D", "e": "EH", "f": "F",
-              "g": "G", "h": "HH", "i": "IH", "j": "JH", "k": "K", "l": "L",
-              "m": "M", "n": "N", "o": "AA", "p": "P", "q": "K", "r": "R",
-              "s": "S", "t": "T", "u": "AH", "v": "V", "w": "W", "x": "K S",
-              "y": "Y", "z": "Z"}
+# high-frequency + irregular words with CMU-style ARPAbet (stressless):
+# lexicon hit -> exact pronunciation; everything else goes to the rules
+_EN_LEXICON = {
+    "the": "DH AH", "a": "AH", "an": "AE N", "and": "AE N D",
+    "of": "AH V", "to": "T UW", "in": "IH N", "is": "IH Z",
+    "you": "Y UW", "that": "DH AE T", "it": "IH T", "he": "HH IY",
+    "she": "SH IY", "was": "W AA Z", "for": "F AO R", "on": "AA N",
+    "are": "AA R", "as": "AE Z", "with": "W IH DH", "his": "HH IH Z",
+    "her": "HH ER", "they": "DH EY", "i": "AY", "at": "AE T",
+    "be": "B IY", "this": "DH IH S", "have": "HH AE V",
+    "from": "F R AH M", "or": "AO R", "one": "W AH N", "had": "HH AE D",
+    "by": "B AY", "word": "W ER D", "but": "B AH T", "not": "N AA T",
+    "what": "W AH T", "all": "AO L", "were": "W ER", "we": "W IY",
+    "when": "W EH N", "your": "Y AO R", "can": "K AE N",
+    "said": "S EH D", "there": "DH EH R", "use": "Y UW Z",
+    "each": "IY CH", "which": "W IH CH", "do": "D UW",
+    "how": "HH AW", "their": "DH EH R", "if": "IH F",
+    "will": "W IH L", "up": "AH P", "other": "AH DH ER",
+    "about": "AH B AW T", "out": "AW T", "many": "M EH N IY",
+    "then": "DH EH N", "them": "DH EH M", "these": "DH IY Z",
+    "so": "S OW", "some": "S AH M", "would": "W UH D",
+    "make": "M EY K", "like": "L AY K", "him": "HH IH M",
+    "into": "IH N T UW", "time": "T AY M", "has": "HH AE Z",
+    "look": "L UH K", "two": "T UW", "more": "M AO R",
+    "write": "R AY T", "go": "G OW", "see": "S IY",
+    "no": "N OW", "way": "W EY", "could": "K UH D",
+    "people": "P IY P AH L", "my": "M AY", "than": "DH AE N",
+    "first": "F ER S T", "water": "W AO T ER", "been": "B IH N",
+    "who": "HH UW", "oil": "OY L", "its": "IH T S",
+    "now": "N AW", "find": "F AY N D", "long": "L AO NG",
+    "down": "D AW N", "day": "D EY", "did": "D IH D",
+    "get": "G EH T", "come": "K AH M", "made": "M EY D",
+    "may": "M EY", "part": "P AA R T", "over": "OW V ER",
+    "new": "N UW", "sound": "S AW N D", "take": "T EY K",
+    "only": "OW N L IY", "little": "L IH T AH L", "work": "W ER K",
+    "know": "N OW", "place": "P L EY S", "year": "Y IH R",
+    "live": "L IH V", "me": "M IY", "back": "B AE K",
+    "give": "G IH V", "most": "M OW S T", "very": "V EH R IY",
+    "after": "AE F T ER", "thing": "TH IH NG", "our": "AW ER",
+    "just": "JH AH S T", "name": "N EY M", "good": "G UH D",
+    "sentence": "S EH N T AH N S", "man": "M AE N",
+    "think": "TH IH NG K", "say": "S EY", "great": "G R EY T",
+    "where": "W EH R", "help": "HH EH L P", "through": "TH R UW",
+    "much": "M AH CH", "before": "B IH F AO R", "line": "L AY N",
+    "right": "R AY T", "too": "T UW", "mean": "M IY N",
+    "old": "OW L D", "any": "EH N IY", "same": "S EY M",
+    "tell": "T EH L", "boy": "B OY", "follow": "F AA L OW",
+    "came": "K EY M", "want": "W AA N T", "show": "SH OW",
+    "also": "AO L S OW", "around": "ER AW N D", "form": "F AO R M",
+    "three": "TH R IY", "small": "S M AO L", "set": "S EH T",
+    "put": "P UH T", "end": "EH N D", "does": "D AH Z",
+    "another": "AH N AH DH ER", "well": "W EH L", "large": "L AA R JH",
+    "must": "M AH S T", "big": "B IH G", "even": "IY V AH N",
+    "such": "S AH CH", "because": "B IH K AO Z", "turn": "T ER N",
+    "here": "HH IY R", "why": "W AY", "ask": "AE S K",
+    "went": "W EH N T", "men": "M EH N", "read": "R IY D",
+    "need": "N IY D", "land": "L AE N D", "different": "D IH F ER AH N T",
+    "home": "HH OW M", "us": "AH S", "move": "M UW V",
+    "try": "T R AY", "kind": "K AY N D", "hand": "HH AE N D",
+    "picture": "P IH K CH ER", "again": "AH G EH N",
+    "change": "CH EY N JH", "off": "AO F", "play": "P L EY",
+    "spell": "S P EH L", "air": "EH R", "away": "AH W EY",
+    "animal": "AE N AH M AH L", "house": "HH AW S",
+    "point": "P OY N T", "page": "P EY JH", "letter": "L EH T ER",
+    "mother": "M AH DH ER", "answer": "AE N S ER",
+    "found": "F AW N D", "study": "S T AH D IY", "still": "S T IH L",
+    "learn": "L ER N", "should": "SH UH D", "world": "W ER L D",
+    "high": "HH AY", "every": "EH V ER IY", "near": "N IH R",
+    "add": "AE D", "food": "F UW D", "between": "B IH T W IY N",
+    "own": "OW N", "below": "B IH L OW", "country": "K AH N T R IY",
+    "plant": "P L AE N T", "last": "L AE S T", "school": "S K UW L",
+    "father": "F AA DH ER", "keep": "K IY P", "tree": "T R IY",
+    "never": "N EH V ER", "start": "S T AA R T", "city": "S IH T IY",
+    "earth": "ER TH", "eye": "AY", "light": "L AY T",
+    "thought": "TH AO T", "head": "HH EH D", "under": "AH N D ER",
+    "story": "S T AO R IY", "saw": "S AO", "left": "L EH F T",
+    "don't": "D OW N T", "few": "F Y UW", "while": "W AY L",
+    "along": "AH L AO NG", "might": "M AY T", "close": "K L OW S",
+    "something": "S AH M TH IH NG", "seem": "S IY M",
+    "next": "N EH K S T", "hard": "HH AA R D", "open": "OW P AH N",
+    "example": "IH G Z AE M P AH L", "begin": "B IH G IH N",
+    "life": "L AY F", "always": "AO L W EY Z", "those": "DH OW Z",
+    "both": "B OW TH", "paper": "P EY P ER",
+    "together": "T AH G EH DH ER", "got": "G AA T",
+    "group": "G R UW P", "often": "AO F AH N", "run": "R AH N",
+    "important": "IH M P AO R T AH N T", "until": "AH N T IH L",
+    "children": "CH IH L D R AH N", "side": "S AY D",
+    "feet": "F IY T", "car": "K AA R", "mile": "M AY L",
+    "night": "N AY T", "walk": "W AO K", "white": "W AY T",
+    "sea": "S IY", "began": "B IH G AE N", "grow": "G R OW",
+    "took": "T UH K", "river": "R IH V ER", "four": "F AO R",
+    "carry": "K AE R IY", "state": "S T EY T", "once": "W AH N S",
+    "book": "B UH K", "hear": "HH IY R", "stop": "S T AA P",
+    "without": "W IH TH AW T", "second": "S EH K AH N D",
+    "love": "L AH V", "heart": "HH AA R T", "hello": "HH AH L OW",
+    "world's": "W ER L D Z", "music": "M Y UW Z IH K",
+    "song": "S AO NG", "sing": "S IH NG", "voice": "V OY S",
+    "beautiful": "B Y UW T AH F AH L", "one's": "W AH N Z",
+}
+
+# ordered context-sensitive LTS rules: (pattern, phones, advance).
+# pattern is matched at the cursor; "$" = end of word, "^" = start,
+# "V" = any vowel letter at that position, "C" = any consonant
+_EN_RULES: List[Tuple[str, str, int]] = [
+    # suffixes / endings
+    ("tion$", "SH AH N", 4), ("sion$", "ZH AH N", 4),
+    ("tious$", "SH AH S", 5), ("cious$", "SH AH S", 5),
+    ("ture$", "CH ER", 4), ("sure$", "ZH ER", 4),
+    ("ought$", "AO T", 5), ("aught$", "AO T", 5),
+    ("ing$", "IH NG", 3), ("ings$", "IH NG Z", 4),
+    ("able$", "AH B AH L", 4), ("ible$", "AH B AH L", 4),
+    ("ally$", "AH L IY", 4), ("ily$", "AH L IY", 3),
+    ("ly$", "L IY", 2), ("ies$", "IY Z", 3), ("ied$", "IY D", 3),
+    ("es$", "IH Z", 2), ("ed$", "D", 2), ("y$", "IY", 1),
+    ("le$", "AH L", 2), ("ey$", "IY", 2),
+    # silent letters / clusters
+    ("^kn", "N", 2), ("^wr", "R", 2), ("^ps", "S", 2), ("^gn", "N", 2),
+    ("mb$", "M", 2), ("igh", "AY", 3), ("eigh", "EY", 4),
+    ("tch", "CH", 3), ("dge", "JH", 3), ("ck", "K", 2),
+    # consonant digraphs
+    ("ch", "CH", 2), ("sh", "SH", 2), ("th", "TH", 2), ("ph", "F", 2),
+    ("gh", "G", 2), ("wh", "W", 2), ("ng", "NG", 2), ("qu", "K W", 2),
+    # r-controlled vowels
+    ("ar", "AA R", 2), ("or", "AO R", 2), ("er", "ER", 2),
+    ("ir", "ER", 2), ("ur", "ER", 2), ("ear", "IH R", 3),
+    # vowel teams
+    ("ai", "EY", 2), ("ay", "EY", 2), ("ee", "IY", 2), ("ea", "IY", 2),
+    ("oa", "OW", 2), ("oo", "UW", 2), ("ou", "AW", 2), ("ow", "OW", 2),
+    ("oi", "OY", 2), ("oy", "OY", 2), ("au", "AO", 2), ("aw", "AO", 2),
+    ("ue", "UW", 2), ("ui", "UW", 2), ("ew", "UW", 2), ("ie", "IY", 2),
+    # magic-e long vowels (aCe / iCe / oCe / uCe)
+    ("aCe$", "EY", -1), ("iCe$", "AY", -1), ("oCe$", "OW", -1),
+    ("uCe$", "UW", -1), ("eCe$", "IY", -1),
+    # soft c / g
+    ("ce", "S", 1), ("ci", "S", 1), ("cy", "S", 1),
+    ("ge", "JH", 1), ("gi", "JH", 1), ("gy", "JH", 1),
+    # single letters
+    ("a", "AE", 1), ("b", "B", 1), ("c", "K", 1), ("d", "D", 1),
+    ("e", "EH", 1), ("f", "F", 1), ("g", "G", 1), ("h", "HH", 1),
+    ("i", "IH", 1), ("j", "JH", 1), ("k", "K", 1), ("l", "L", 1),
+    ("m", "M", 1), ("n", "N", 1), ("o", "AA", 1), ("p", "P", 1),
+    ("q", "K", 1), ("r", "R", 1), ("s", "S", 1), ("t", "T", 1),
+    ("u", "AH", 1), ("v", "V", 1), ("w", "W", 1), ("x", "K S", 1),
+    ("y", "Y", 1), ("z", "Z", 1),
+]
+
+_EN_VOWELS = set("aeiou")
+
+
+def _match_rule(w: str, i: int, pat: str) -> int:
+    """Length of the literal consumed match at w[i:] or -1. Handles the
+    ^/$ anchors and the magic-e VCe template (consumes vowel+consonant,
+    leaving the final silent e to be skipped)."""
+    p = pat
+    if p.startswith("^"):
+        if i != 0:
+            return -1
+        p = p[1:]
+    anchored_end = p.endswith("$")
+    if anchored_end:
+        p = p[:-1]
+    if "C" in p:  # magic-e template: vowel, any consonant, silent e
+        v, _, _ = p[0], p[1], p[2]
+        if (i + 3 == len(w) and w[i] == v and
+                w[i + 1] not in _EN_VOWELS and w[i + 1].isalpha() and
+                w[i + 2] == "e"):
+            return 2   # consume vowel+consonant; trailing e dropped later
+        return -1
+    if not w.startswith(p, i):
+        return -1
+    if anchored_end and i + len(p) != len(w):
+        return -1
+    return len(p)
 
 
 def _letter_to_sound(word: str) -> List[str]:
+    """Rule-based English LTS fallback (ARPAbet, stressless). A real
+    g2p_en install takes precedence; the embedded lexicon covers the
+    most frequent + irregular words exactly."""
+    w = word.lower()
+    if w in _EN_LEXICON:
+        return _EN_LEXICON[w].split()
     phs: List[str] = []
     i = 0
-    w = word.lower()
     while i < len(w):
-        if i + 1 < len(w) and w[i: i + 2] in _EN_DIGRAPHS:
-            phs.extend(_EN_DIGRAPHS[w[i: i + 2]].split())
-            i += 2
-        elif w[i] in _EN_SINGLE:
-            phs.extend(_EN_SINGLE[w[i]].split())
+        if not w[i].isalpha():
             i += 1
+            continue
+        for pat, phones, adv in _EN_RULES:
+            n = _match_rule(w, i, pat)
+            if n < 0:
+                continue
+            phs.extend(phones.split())
+            if adv == -1:      # magic-e: vowel+consonant consumed, the
+                i += 1         # consonant reads by its own rule next
+            else:
+                i += n
+            break
         else:
             i += 1
+        # skip a silent final e
+        if i == len(w) - 1 and w[i] == "e" and len(w) > 2 and phs:
+            break
     return phs
 
 
@@ -150,3 +335,89 @@ class EnTxtProcessor(BaseTxtProcessor):
             if phs and phs[-1] == "|":
                 phs.pop()
         return phs, txt
+
+
+# ---------------------------------------------------------------------------
+# zh_g2pM: per-character g2p with polyphone disambiguation + word bounds
+# ---------------------------------------------------------------------------
+
+_PUNCS = "!,.?;:"
+
+
+@register_txt_processors("zh_g2pM")
+class ZhG2pMTxtProcessor(BaseTxtProcessor):
+    """Reference variant ``txt_processors/zh_g2pM.py``: G2pM neural
+    polyphone disambiguation per hanzi + jieba word segmentation, '#'
+    word-boundary tokens, shengmu/yunmu split, and silence-adjacent
+    boundary cleanup.
+
+    Those two packages aren't in this image, so: with g2pM+jieba
+    importable the full reference behavior runs; otherwise pinyin input
+    is processed directly with '#' boundaries taken from whitespace (one
+    word per syllable group), keeping the token contract (['|', '#']
+    separators) identical."""
+
+    @staticmethod
+    def sp_phonemes() -> List[str]:
+        return ["|", "#"]
+
+    @classmethod
+    def _split_syllable(cls, p: str) -> List[str]:
+        p = p.replace("u:", "v")
+        return split_pinyin(p)
+
+    @classmethod
+    def _cleanup_boundaries(cls, phs: List[str]) -> List[str]:
+        """Drop '#' word bounds adjacent to silence tokens (reference
+        zh_g2pM.py:60-66)."""
+        sil = set(_PUNCS) | set(cls.sp_phonemes())
+        out: List[str] = []
+        for i, p in enumerate(phs):
+            prv = phs[i - 1] if i > 0 else ""
+            nxt = phs[i + 1] if i + 1 < len(phs) else ""
+            if p == "#" and (prv in sil or nxt in sil):
+                continue
+            out.append(p)
+        return out
+
+    @classmethod
+    def process(cls, txt: str, use_tone: bool = True
+                ) -> Tuple[List[str], str]:
+        txt = normalize_zh(txt.strip())
+        has_hanzi = re.search(r"[一-鿿]", txt) is not None
+        if has_hanzi:
+            try:
+                import jieba  # type: ignore
+                from g2pM import G2pM  # type: ignore
+            except ImportError:
+                raise RuntimeError(
+                    "zh_g2pM with raw hanzi needs g2pM + jieba; pass "
+                    "space-separated pinyin (words split by '#') instead")
+            model = G2pM()
+            sylls = model(txt, tone=use_tone, char_split=True)
+            seg = "#".join(jieba.cut(txt))
+            phs: List[str] = []
+            si = 0
+            for p in sylls:
+                phs.append("#" if seg[si] == "#" else "|")
+                if seg[si] == "#":
+                    si += 1
+                si += 1
+                phs.extend(cls._split_syllable(p))
+            return cls._cleanup_boundaries(phs), txt
+        # pinyin fallback: '#' separates words, whitespace separates
+        # syllables; exactly ONE separator precedes each syllable ('#' at
+        # a word start, '|' inside a word) as in the reference loop
+        phs = []
+        first_word = True
+        for word in txt.split("#"):
+            sylls = word.split()
+            for wi, syll in enumerate(sylls):
+                if syll in ("AP", "SP", "|", "<AP>", "<SP>"):
+                    phs.append(syll)
+                    continue
+                phs.append("#" if (wi == 0 and not first_word) else "|")
+                phs.extend(cls._split_syllable(syll))
+            if sylls:
+                first_word = False
+        return cls._cleanup_boundaries(phs), txt

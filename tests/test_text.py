@@ -171,3 +171,32 @@ def test_updated_num_expectations():
     assert num_to_hanzi("20000") == "两万"
     assert "百分之一百" in normalize_zh("100%")
     assert "百分之八十点零三" in normalize_zh("百分数：80.03%。")
+
+
+def test_zh_g2pm_processor_pinyin_fallback():
+    from stylesinger_tpu.text_processors import get_txt_processor_cls
+
+    cls = get_txt_processor_cls("zh_g2pM")
+    assert cls.sp_phonemes() == ["|", "#"]
+    phs, norm = cls.process("xiao jiu # wo de")
+    assert phs == ["|", "x", "iao", "|", "j", "iu", "#",
+                   "w", "o", "|", "d", "e"]
+    # u: -> v mapping
+    phs2, _ = cls.process("lu:e")
+    assert phs2 == ["|", "l", "ve"]
+
+
+def test_en_lts_fallback_quality():
+    """The en fallback: exact lexicon hits for frequent/irregular words,
+    sane rule outputs (magic-e, digraphs, silent letters) otherwise."""
+    from stylesinger_tpu.text_processors import _letter_to_sound as lts
+
+    assert lts("the") == ["DH", "AH"]
+    assert lts("one") == ["W", "AH", "N"]
+    assert lts("through") == ["TH", "R", "UW"]
+    assert lts("night") == ["N", "AY", "T"]       # igh rule
+    assert lts("make") == ["M", "EY", "K"]        # magic-e
+    assert lts("knife")[0] == "N"                 # silent k
+    assert lts("catch")[-1] == "CH"               # tch
+    assert lts("graph")[-1] == "F"                # ph
+    assert lts("simple")[-2:] == ["AH", "L"]      # -le
