@@ -26,7 +26,7 @@ from stylesinger_tpu.dsp.mel import load_wav, save_wav, wav2spec_np
 from stylesinger_tpu.dsp.pitch import extract_pitch, norm_interp_f0_np
 from stylesinger_tpu.text import TokenTextEncoder, build_token_encoder
 from stylesinger_tpu.models.encoders import (
-    GE2E_SR, UtteranceEncoder, preprocess_wav,
+    UtteranceEncoder, preprocess_wav,
 )
 
 
