@@ -338,6 +338,11 @@ def _coerce(value: str) -> Any:
     return value
 
 
+def _split_overrides(overrides: str) -> list:
+    """Split ``"a=1,b=[2,3]"`` on commas not inside brackets/parens."""
+    return re.split(r",(?![^\[\(]*[\]\)])", overrides)
+
+
 def apply_overrides(cfg: Config, overrides: str) -> Config:
     """Apply ``"a=1,b.c=2"`` style overrides with type coercion.
 
@@ -346,9 +351,7 @@ def apply_overrides(cfg: Config, overrides: str) -> Config:
     """
     if not overrides:
         return cfg
-    # split on commas not inside brackets
-    parts = re.split(r",(?![^\[\(]*[\]\)])", overrides)
-    for part in parts:
+    for part in _split_overrides(overrides):
         if not part.strip():
             continue
         key, value = part.split("=", 1)
@@ -368,7 +371,7 @@ def load_config(path: Optional[str] = None, overrides: str = "",
     if path is not None:
         _deep_merge(cfg, _load_yaml_cascade(path))
     explicit = {p.split("=", 1)[0].strip()
-                for p in re.split(r",(?![^\[\(]*[\]\)])", overrides)
+                for p in _split_overrides(overrides)
                 if p.strip() and "=" in p}
     explicit |= set(kwargs)
     apply_overrides(cfg, overrides)

@@ -147,13 +147,13 @@ class StyleSingingBinarizer:
         (style_binarizer.py:327-329 via ``preprocess_wav``)."""
         c = self.cfg
         self._ensure_encoder_vars()
+        wav16 = preprocess_wav(wav48, c["audio_sample_rate"])
         if c.get("spk_embed_at_native_rate", True):
             spk_wav = np.asarray(wav48, np.float32)
         else:
-            spk_wav = preprocess_wav(wav48, c["audio_sample_rate"])
+            spk_wav = wav16
         spk = self._spk_enc.embed_utterance(self._spk_vars, spk_wav,
                                             project=True)
-        wav16 = preprocess_wav(wav48, c["audio_sample_rate"])
         emo = self._emo_enc.embed_utterance(self._emo_vars, wav16,
                                             project=False)
         return spk, emo

@@ -212,15 +212,16 @@ class StyleSingerInfer:
         # resemblyzer's 16 kHz front-end (inference/StyleSinger.py:100-104,
         # no resample/preprocess) — kept behind a flag for checkpoint
         # parity; disable for a spectrally correct 16 kHz path.
+        # emotion path input: polyphase resample -> -30 dBFS -> VAD trim
+        # (reference inference.py:112-155 + audio.py); reused for the
+        # speaker path when native-rate parity is off
+        wav16 = preprocess_wav(spec["wav"], c["audio_sample_rate"])
         if c.get("spk_embed_at_native_rate", True):
             spk_wav = spec["wav"].astype(np.float32)
         else:
-            spk_wav = preprocess_wav(spec["wav"], c["audio_sample_rate"])
+            spk_wav = wav16
         spk_embed = self.spk_encoder.embed_utterance(
             self.spk_variables, spk_wav, project=True)
-        # emotion: polyphase resample -> -30 dBFS -> VAD trim, then the
-        # unprojected GE2E path (reference inference.py:112-155 + audio.py)
-        wav16 = preprocess_wav(spec["wav"], c["audio_sample_rate"])
         emo_embed = self.emo_encoder.embed_utterance(
             self.emo_variables, wav16, project=False)
         return dict(

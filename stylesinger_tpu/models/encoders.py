@@ -182,11 +182,13 @@ class UtteranceEncoder(nn.Module):
                                         name=f"lstm_{i}")
             x = nn.RNN(cell)(x)
         last_hidden = x[:, -1, :]
-        # proj params must exist regardless of the path taken at init
-        proj = nn.Dense(self.embed_size, name="proj")
+        # ALWAYS call the projection so its params exist no matter which
+        # path an init took (declaring an unused nn.Dense creates nothing
+        # in flax; an emotion-path init would otherwise lack 'proj' and
+        # break a later project=True apply)
+        e = jax.nn.relu(nn.Dense(self.embed_size, name="proj")(last_hidden))
         if not project:
             return last_hidden
-        e = jax.nn.relu(proj(last_hidden))
         return e / jnp.maximum(
             jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-8)
 

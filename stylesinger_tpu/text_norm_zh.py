@@ -125,10 +125,9 @@ def num_to_hanzi(num: str, *, per_digit: bool = False,
 def hanzi_to_num(text: str) -> str:
     """Chinese number reading -> digit string ('三千五百万' -> '35000000',
     '十二点五' -> '12.5'); the reverse direction (reference ``chn2num``)."""
-    int_text, _, dec_text = text.partition(POINT)
-    if not int_text and not dec_text:
-        int_text = text.partition("點")[0]
-        dec_text = text.partition("點")[2]
+    int_text, sep, dec_text = text.partition(POINT)
+    if not sep:  # traditional spelling
+        int_text, sep, dec_text = text.partition("點")
 
     toks: List[_Tok] = []
     for ch in int_text:
@@ -197,7 +196,11 @@ def read_date(date: str) -> str:
             m, day = rest.strip().split("月", 1)
             month = num_to_hanzi(m) + "月"
         else:
-            day = date
+            # unreachable from normalize() (the date regex only admits a
+            # day after 月); the reference's equivalent branch re-reads
+            # the WHOLE date string here and would crash on 年 — read the
+            # post-year remainder instead
+            day = rest
         if day:
             day = num_to_hanzi(day[:-1]) + day[-1]
     return year + month + day

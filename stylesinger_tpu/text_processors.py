@@ -343,6 +343,46 @@ class EnTxtProcessor(BaseTxtProcessor):
 
 _PUNCS = "!,.?;:"
 
+# fullwidth -> halfwidth (reference txt_processors/zh.py:10-12)
+_FULLWIDTH_TABLE = {ord(f): ord(t) for f, t in zip(
+    "：，。！？【】（）％＃＠＆１２３４５６７８９０",
+    ":,.!?[]()%#@&1234567890")}
+
+
+def preprocess_text_zh(text: str) -> str:
+    """The reference zh preprocessing chain minus per-char spacing
+    (``zh.TxtProcessor.preprocess_text``, txt_processors/zh.py:14-26):
+    fullwidth translation -> NSW normalize -> strip quotes/parens ->
+    keep only letters/hanzi/PUNCS -> collapse+space punctuation."""
+    text = text.translate(_FULLWIDTH_TABLE)
+    text = normalize_zh(text)
+    text = re.sub(r"['\"()]+", "", text)
+    text = re.sub(r"[-]+", " ", text)
+    text = re.sub(f"[^ A-Za-z一-鿿{_PUNCS}]", "", text)
+    text = re.sub(f"([{_PUNCS}])+", r"\1", text)
+    text = re.sub(f"([{_PUNCS}])", r" \1 ", text)
+    text = re.sub(r"\s+", "", text)
+    return text
+
+
+def _hanzi_to_pinyin(p: str, use_tone: bool = True) -> str:
+    """Re-convert a still-hanzi G2pM output via pypinyin with neutral-tone
+    '5' padding (reference zh_g2pM.py:43-49). Returns ``p`` unchanged when
+    it is not hanzi or pypinyin is unavailable."""
+    if not re.findall(r"[一-鿿]", p):
+        return p
+    try:
+        from pypinyin import Style, pinyin  # type: ignore
+    except ImportError:
+        return p
+    if use_tone:
+        p = pinyin(p, style=Style.TONE3, strict=True)[0][0]
+        if p[-1] not in "12345":
+            p = p + "5"
+    else:
+        p = pinyin(p, style=Style.NORMAL, strict=True)[0][0]
+    return p
+
 
 @register_txt_processors("zh_g2pM")
 class ZhG2pMTxtProcessor(BaseTxtProcessor):
@@ -383,9 +423,12 @@ class ZhG2pMTxtProcessor(BaseTxtProcessor):
     @classmethod
     def process(cls, txt: str, use_tone: bool = True
                 ) -> Tuple[List[str], str]:
-        txt = normalize_zh(txt.strip())
         has_hanzi = re.search(r"[一-鿿]", txt) is not None
         if has_hanzi:
+            # the full reference chain (zh_g2pM.py:26-49): preprocess
+            # (fullwidth/punc/NSW), G2pM char-split, jieba '#' bounds,
+            # pypinyin re-conversion of any output G2pM left as hanzi
+            txt = preprocess_text_zh(txt.strip())
             try:
                 import jieba  # type: ignore
                 from g2pM import G2pM  # type: ignore
@@ -403,8 +446,13 @@ class ZhG2pMTxtProcessor(BaseTxtProcessor):
                 if seg[si] == "#":
                     si += 1
                 si += 1
+                p = _hanzi_to_pinyin(p, use_tone)
+                if p in _PUNCS:
+                    phs.append(p)  # kept verbatim (reference :56-58)
+                    continue
                 phs.extend(cls._split_syllable(p))
             return cls._cleanup_boundaries(phs), txt
+        txt = normalize_zh(txt.strip())
         # pinyin fallback: '#' separates words, whitespace separates
         # syllables; exactly ONE separator precedes each syllable ('#' at
         # a word start, '|' inside a word) as in the reference loop

@@ -200,3 +200,38 @@ def test_en_lts_fallback_quality():
     assert lts("catch")[-1] == "CH"               # tch
     assert lts("graph")[-1] == "F"                # ph
     assert lts("simple")[-2:] == ["AH", "L"]      # -le
+
+
+def test_zh_g2pm_preprocess_text():
+    """preprocess_text_zh = the reference zh.preprocess_text chain
+    (txt_processors/zh.py:14-26) minus the final per-char spacing."""
+    from stylesinger_tpu.text_processors import preprocess_text_zh
+
+    # fullwidth translation + punctuation collapse + NSW numbers
+    assert preprocess_text_zh("他来到了，网易杭研大厦！！") == \
+        "他来到了,网易杭研大厦!"
+    assert preprocess_text_zh("（你好）") == "你好"
+    assert preprocess_text_zh("１２只猫") == "十二只猫"
+    # chars outside [A-Za-z hanzi PUNCS] are dropped
+    out = preprocess_text_zh("abc@大厦")
+    assert "@" not in out and "大厦" in out
+
+
+def test_zh_g2pm_hanzi_reconversion_guard():
+    """_hanzi_to_pinyin passes non-hanzi through and survives a missing
+    pypinyin (returns the input unchanged)."""
+    from stylesinger_tpu.text_processors import _hanzi_to_pinyin
+
+    assert _hanzi_to_pinyin("ni3") == "ni3"
+    assert _hanzi_to_pinyin(",") == ","
+    out = _hanzi_to_pinyin("好")  # no pypinyin in this image -> unchanged
+    assert out in ("好", "hao3")
+
+
+def test_config_split_overrides_shared():
+    """Explicit-key detection and override application share one
+    splitter, so bracketed values never desync the two paths."""
+    from stylesinger_tpu.config import _split_overrides
+
+    assert _split_overrides("a=1,b=[2,3],c=(4,5)") == \
+        ["a=1", "b=[2,3]", "c=(4,5)"]

@@ -1,19 +1,30 @@
-"""A/B evidence: the mel-diffusion eps head's slow bootstrap is reference
-dynamics, not a framework bug.
+"""A/B harness: the mel-diffusion eps head's bootstrap is **learning-rate
+bounded**, identically in jax and torch.
 
 Trains the SAME DiffWave-style denoiser (20 gated residual blocks, 256
 channels, zero-init eps head — reference ``modules/diff/net.py:81-130``)
 on the SAME shallow-diffusion objective (``shallow_diffusion_tts.py:
 206-224``) with the same optimizer, once in this framework (jax) and once
-in plain torch. Both sit at the predict-zero baseline L1 ~= E|eps| ~= 0.798
-for thousands of steps before the zero-initialized output projection
-accumulates enough signal — i.e. the flat early loss seen in short
-validation runs reproduces the reference's own training dynamic (which
-allots diff_start=100k..320k, ~220k steps, to this decoder).
+in plain torch.
+
+Round-2 finding (supersedes the round-1 reading of this tool's output):
+at Adam lr ~3e-3 — this tool's old default, and what a warmup-scaled Noam
+schedule reaches mid-curriculum — the head's gated units saturate in BOTH
+frameworks and L1 pins at the predict-zero baseline E|eps|=sqrt(2/pi)
+~= 0.798 *permanently* (66k flat steps observed in a real run, with
+dilated-conv activations grown ~100x).  At lr <= ~5e-4 the same net
+learns promptly (diff 0.798 -> 0.20 within ~3k steps in the real
+trainer).  The reference never exposes this head to a hot lr: it stays
+frozen until diff_start=100k (tasks/StyleSinger/stylesinger.py:60-61),
+where the rsqrt schedule has decayed to ~4e-4.  Scaled-down curricula
+must therefore scale ``diff_start`` so that lr(diff_start) <~ 5e-4 (or
+keep the reference's absolute ``warmup_updates: 8000``), not by the raw
+step fraction alone.
 
 Usage:
   python tools/ab_diffusion_bootstrap.py --impl jax   [--steps 2000]
   python tools/ab_diffusion_bootstrap.py --impl torch [--steps 2000]
+  # lr sweep: --lr 4e-4 (learns) vs --lr 3e-3 (permanent flatline)
 
 Prints "<impl> <step> <loss>" every 100 steps.
 """
@@ -161,7 +172,7 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=128)
-    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--lr", type=float, default=4e-4)
     args = ap.parse_args()
     if args.impl == "jax":
         run_jax(args.steps, args.batch, args.frames, args.lr)
