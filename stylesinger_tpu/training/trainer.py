@@ -29,6 +29,7 @@ import numpy as np
 
 from stylesinger_tpu.parallel.mesh import make_mesh, shard_batch
 from stylesinger_tpu.training.checkpoint import CheckpointManager
+from stylesinger_tpu.training.schedules import check_diff_start_lr
 from stylesinger_tpu.training.step import (
     Phase, init_state, make_eval_step, make_train_step, phase_for_step,
 )
@@ -185,6 +186,7 @@ class Trainer:
         a fresh validation iterator per call."""
         c = self.cfg
         max_updates = max_updates or c["max_updates"]
+        check_diff_start_lr(c)
 
         # debug-mode sanitizers (reference has only a NaN-grad watchdog,
         # utils/trainer.py:317-324; jax gives us trap-on-NaN compilation)

@@ -404,3 +404,25 @@ def test_train_step_with_padded_batch_rows(tiny_cfg, rng):
     cb = state.codebook["style_extractor"]["rq"]["codebook_0"]["embedding"]
     norms = np.linalg.norm(np.asarray(cb), axis=-1)
     assert (norms > 1e-3).all(), norms.min()
+
+
+def test_diff_start_lr_guard(capsys):
+    """The curriculum guard flags fraction-scaled diff_start that would
+    train the eps head at a saturating lr, and stays quiet for the
+    reference recipe (diff_start=100k, warmup=8000 -> ~4.2e-4)."""
+    from stylesinger_tpu.config import load_config
+    from stylesinger_tpu.training.schedules import check_diff_start_lr
+
+    ref = load_config(**dict(decoder="diffsinger", scheduler="rsqrt",
+                             lr=2.0, hidden_size=256, warmup_updates=8000,
+                             diff_start=100000))
+    lr_ref = check_diff_start_lr(ref)
+    assert 3e-4 < lr_ref < 5e-4
+    assert "WARN" not in capsys.readouterr().out
+
+    hot = load_config(**dict(decoder="diffsinger", scheduler="rsqrt",
+                             lr=2.0, hidden_size=256, warmup_updates=1333,
+                             diff_start=6000))
+    lr_hot = check_diff_start_lr(hot)
+    assert lr_hot > 1e-3
+    assert "WARN" in capsys.readouterr().out
