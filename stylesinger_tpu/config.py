@@ -221,6 +221,12 @@ DEFAULTS: Dict[str, Any] = dict(
     tb_log_interval=100,
     num_ckpt_keep=3,
     save_best=True,
+    # host-RSS watchdog: 0 = auto (85% of MemTotal), -1 = off, else a GB
+    # ceiling. On breach the trainer checkpoints and exits 75 (EX_TEMPFAIL)
+    # so a supervisor (run.py train --supervise) can restart-and-resume —
+    # needed because some remote-PJRT clients leak host memory per step
+    # (docs/OPS.md) and the kernel OOM killer corrupts in-flight saves.
+    max_host_rss_gb=0.0,
     num_sanity_val_steps=-1,
     num_valid_plots=10,
     max_valid_tokens=60000,

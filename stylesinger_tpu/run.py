@@ -13,6 +13,31 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+# exit status for "checkpointed and restartable" (EX_TEMPFAIL); emitted
+# when the host-RSS watchdog trips (training/trainer.py::HostMemoryExceeded)
+RESTART_EXIT_CODE = 75
+
+
+def supervise(cmd: list, max_restarts: int = 100) -> int:
+    """Run ``cmd`` as a subprocess, restarting while it exits with
+    ``RESTART_EXIT_CODE``; returns the final exit status.
+
+    Together with the trainer's auto-resume-from-latest this turns the
+    host-RSS watchdog's graceful exit into a bounded-memory restart loop
+    (needed on remote-PJRT hosts whose client library leaks per step —
+    docs/OPS.md)."""
+    import subprocess
+
+    for i in range(max_restarts):
+        code = subprocess.call(cmd)
+        if code != RESTART_EXIT_CODE:
+            return code
+        print(f"| supervise: restart {i + 1} (exit {code}: watchdog "
+              "checkpointed; resuming)")
+    print(f"| supervise: giving up after {max_restarts} restarts")
+    return RESTART_EXIT_CODE
 
 
 def main() -> None:
@@ -26,7 +51,15 @@ def main() -> None:
     ap.add_argument("--work_dir_root", default="checkpoints")
     ap.add_argument("--ref_audio", default=None)
     ap.add_argument("--out", default="infer_out/test.wav")
+    ap.add_argument("--supervise", action="store_true",
+                    help="train only: restart-and-resume when the host-RSS "
+                    "watchdog checkpoints and exits (code 75)")
     args = ap.parse_args()
+
+    if args.supervise and args.command == "train":
+        cmd = [sys.executable, "-m", "stylesinger_tpu.run"] + \
+            [a for a in sys.argv[1:] if a != "--supervise"]
+        raise SystemExit(supervise(cmd))
 
     from stylesinger_tpu.config import load_config, save_config
 
@@ -76,7 +109,12 @@ def main() -> None:
                                max_sentences=cfg["max_valid_sentences"])
             return bb.batches(0)
 
-        trainer.fit(endless(), valid_batches)
+        from stylesinger_tpu.training.trainer import HostMemoryExceeded
+        try:
+            trainer.fit(endless(), valid_batches)
+        except HostMemoryExceeded as e:
+            print(f"| {e}")
+            raise SystemExit(RESTART_EXIT_CODE)
         return
 
     if args.command == "test":

@@ -35,6 +35,48 @@ from stylesinger_tpu.training.step import (
 )
 
 
+class HostMemoryExceeded(RuntimeError):
+    """Host RSS crossed ``max_host_rss_gb``; a checkpoint was saved first.
+
+    Raised (instead of letting the kernel OOM killer SIGKILL the process
+    mid-save, which leaves a corrupt ``*.orbax-checkpoint-tmp``) so the
+    caller can exit with a restartable status — ``run.py train`` maps it
+    to exit code 75 and ``--supervise`` restarts-and-resumes. Exists
+    because long runs through remote-PJRT tunnels (axon) leak ~3 MB of
+    host memory per dispatched step in the client library; the same loop
+    on the local CPU backend is flat (measured, docs/OPS.md §Host-memory
+    watchdog)."""
+
+
+def host_rss_gb() -> float:
+    """Resident-set size of this process in GB (Linux; 0.0 if unknown)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
+
+def resolve_rss_limit_gb(cfg_value: float) -> float:
+    """``max_host_rss_gb`` semantics: 0 = auto (85% of MemTotal),
+    negative = disabled (inf), positive = explicit GB ceiling."""
+    if cfg_value is None or cfg_value < 0:
+        return float("inf")
+    if cfg_value > 0:
+        return float(cfg_value)
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return 0.85 * int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return float("inf")
+
+
 class _BatchPrefetcher:
     """Background thread assembling + device-putting upcoming batches.
 
@@ -240,6 +282,7 @@ class Trainer:
                           max_updates, valid_batches_fn, window_losses, t0):
         c = self.cfg
         profile_at = c.get("profile_step", -1)
+        rss_limit = resolve_rss_limit_gb(c.get("max_host_rss_gb", 0.0))
         while step < max_updates:
             if prefetch is not None:
                 batch = shard_batch(prefetch.next(), self.mesh)
@@ -281,12 +324,22 @@ class Trainer:
                 logged = self._drain_window(window_losses)
                 logged["steps_per_sec"] = c["tb_log_interval"] / \
                     max(time.time() - t0, 1e-9)
+                rss = host_rss_gb()
+                logged["host_rss_gb"] = rss
                 t0 = time.time()
                 self.metrics.write(step, logged, "train")
                 window_losses.clear()
                 if not np.isfinite(logged.get("total_loss", 0.0)):
                     raise FloatingPointError(
                         f"non-finite loss at step {step}: {logged}")
+                if rss > rss_limit:
+                    print(f"| host RSS {rss:.1f} GB > limit {rss_limit:.1f} "
+                          f"GB: checkpointing at step {step} and exiting "
+                          "for restart")
+                    self.ckpt.save(step, state)
+                    raise HostMemoryExceeded(
+                        f"host RSS {rss:.1f} GB exceeded {rss_limit:.1f} GB "
+                        f"at step {step} (checkpoint saved; resume-safe)")
 
             if step % c["val_check_interval"] == 0:
                 val_loss = None

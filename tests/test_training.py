@@ -426,3 +426,50 @@ def test_diff_start_lr_guard(capsys):
     lr_hot = check_diff_start_lr(hot)
     assert lr_hot > 1e-3
     assert "WARN" in capsys.readouterr().out
+
+
+def test_rss_watchdog_checkpoints_and_raises(tmp_path, tiny_cfg, rng):
+    """With an impossibly small max_host_rss_gb the trainer must save a
+    checkpoint at the first metrics window and raise HostMemoryExceeded
+    (graceful, resume-safe) instead of running to max_updates."""
+    from stylesinger_tpu.training.trainer import (
+        HostMemoryExceeded, Trainer, host_rss_gb, resolve_rss_limit_gb,
+    )
+
+    assert host_rss_gb() > 0.01  # we certainly use >10 MB
+    assert resolve_rss_limit_gb(-1.0) == float("inf")
+    assert resolve_rss_limit_gb(7.5) == 7.5
+    auto = resolve_rss_limit_gb(0.0)
+    assert 0.1 < auto < 16384  # 85% of MemTotal, sane bounds
+
+    cfg = dict(tiny_cfg)
+    cfg.update(max_frames=64, max_updates=50, val_check_interval=1000,
+               tb_log_interval=1, valid_infer_interval=10 ** 9,
+               num_ckpt_keep=1, max_host_rss_gb=0.001)
+    model = StyleSinger(cfg, VOCAB)
+    batch = _synthetic_batch(cfg, rng, n=4)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+    trainer = Trainer(model, cfg, str(tmp_path))
+    with pytest.raises(HostMemoryExceeded):
+        trainer.fit([batch] * 50, example_batch=batch)
+    assert trainer.ckpt.latest_step() == 1  # saved before raising
+
+
+def test_supervise_restarts_on_exit_75(tmp_path):
+    """run.supervise re-runs the command while it exits 75 and returns the
+    final status once it exits otherwise."""
+    import sys
+
+    from stylesinger_tpu.run import supervise
+
+    counter = tmp_path / "n"
+    script = tmp_path / "job.py"
+    script.write_text(
+        "import pathlib, sys\n"
+        f"p = pathlib.Path({str(counter)!r})\n"
+        "n = int(p.read_text()) if p.exists() else 0\n"
+        "p.write_text(str(n + 1))\n"
+        "sys.exit(75 if n < 2 else 0)\n")
+    code = supervise([sys.executable, str(script)])
+    assert code == 0
+    assert counter.read_text() == "3"  # two restarts + final clean run

@@ -220,7 +220,14 @@ def main():
             return bb.batches(0)
 
         t0 = time.time()
-        state = trainer.fit(endless(), valid_batches)
+        from stylesinger_tpu.training.trainer import HostMemoryExceeded
+        try:
+            state = trainer.fit(endless(), valid_batches)
+        except HostMemoryExceeded as e:
+            # restartable: rerun the same command; fit resumes from the
+            # checkpoint the watchdog just saved (exit 75 = EX_TEMPFAIL)
+            print(f"| {e}")
+            raise SystemExit(75)
         print(f"| trained {args.steps} steps in {time.time() - t0:.0f}s")
     else:
         from stylesinger_tpu.training.step import init_state
