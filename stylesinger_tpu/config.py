@@ -221,7 +221,9 @@ DEFAULTS: Dict[str, Any] = dict(
     tb_log_interval=100,
     num_ckpt_keep=3,
     save_best=True,
-    # host-RSS watchdog: 0 = auto (85% of MemTotal), -1 = off, else a GB
+    # host-RSS watchdog: 0 = auto (arms at 85% of MemTotal ONLY on
+    # remote-PJRT/tunnel backends, where the client leaks per step; stays
+    # off on local cpu/gpu/tpu), -1 = off, else an explicit GB
     # ceiling. On breach the trainer checkpoints and exits 75 (EX_TEMPFAIL)
     # so a supervisor (run.py train --supervise) can restart-and-resume —
     # needed because some remote-PJRT clients leak host memory per step

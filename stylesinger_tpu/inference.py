@@ -84,7 +84,27 @@ class StyleSingerInfer:
         )
 
     def init_random(self) -> None:
-        """Random-init all parameter sets (smoke tests / untrained runs).
+        """Random-init all parameter sets (smoke tests / untrained runs)."""
+        self._init_acoustic()
+        self._init_vocoder()
+        self._init_encoders()
+
+    def _init_missing(self) -> None:
+        """Initialize ONLY the parameter sets that are still None.
+
+        Guards in the infer paths must never clobber weights that
+        ``load_params`` already installed (a prior round's advisor finding:
+        load_params + infer used to silently re-randomize the acoustic
+        model when just the d-vector encoders were missing)."""
+        if self.variables is None:
+            self._init_acoustic()
+        if self.voc_variables is None:
+            self._init_vocoder()
+        if self.spk_variables is None or self.emo_variables is None:
+            self._init_encoders()
+
+    def _init_acoustic(self) -> None:
+        """Random-init the acoustic model.
 
         NB: init must trace the *training* path — at inference the denoiser
         calls live inside ``lax.scan``, and parameters created inside a scan
@@ -103,12 +123,14 @@ class StyleSingerInfer:
             jnp.zeros((1, t_ref)), i["note"], i["note_dur"],
             i["note_type"], infer=False, use_rq=True, forcing=False,
             use_diff=True)
-        hop = self.cfg["hop_size"]
+
+    def _init_vocoder(self) -> None:
+        import jax.numpy as jnp
+
         self.voc_variables = self.vocoder.init(
             {"params": self._rng, "noise": self._rng},
             jnp.zeros((1, 16, self.cfg["audio_num_mel_bins"])),
             jnp.full((1, 16), 200.0))
-        self._init_encoders()
 
     def _init_encoders(self) -> None:
         """d-vector encoder weights: pretrained when the config points at
@@ -155,9 +177,14 @@ class StyleSingerInfer:
                 return
             from stylesinger_tpu.training.checkpoint import CheckpointManager
             if self.variables is None:
-                self.init_random()
+                self._init_acoustic()  # shape target for restore only
             mgr = CheckpointManager(state_or_dir,
                                     keep=self.cfg["num_ckpt_keep"])
+            if mgr.latest_step() is None:
+                raise FileNotFoundError(
+                    f"no checkpoint under {state_or_dir}/ckpt — refusing to "
+                    "synthesize from random weights (train first, or pass a "
+                    "reference .ckpt file)")
             from stylesinger_tpu.models.stylesinger import StyleSinger  # noqa
             # build a TrainState-shaped target from current variables
             from stylesinger_tpu.training.step import TrainState, \
@@ -205,9 +232,10 @@ class StyleSingerInfer:
             ref_f0_raw, pitch_norm=c["pitch_norm"], use_uv=c["use_uv"],
             f0_mean=c["f0_mean"], f0_std=c["f0_std"])
 
-        # d-vector encoders (GE2E front-end)
-        if self.spk_variables is None:
-            self.init_random()
+        # d-vector encoders (GE2E front-end); init ONLY the encoders —
+        # never the acoustic/vocoder weights, which load_params may have set
+        if self.spk_variables is None or self.emo_variables is None:
+            self._init_encoders()
         # speaker: the reference feeds the NATIVE-rate wav straight into
         # resemblyzer's 16 kHz front-end (inference/StyleSinger.py:100-104,
         # no resample/preprocess) — kept behind a flag for checkpoint
@@ -237,8 +265,7 @@ class StyleSingerInfer:
         import jax.numpy as jnp
 
         c = self.cfg
-        if self.variables is None:
-            self.init_random()
+        self._init_missing()
         max_frames = max_frames or c["max_frames"]
 
         def fwd(variables, voc_variables, batch, rng):
@@ -312,8 +339,7 @@ class StyleSingerInfer:
         import jax.numpy as jnp
 
         c = self.cfg
-        if self.variables is None:
-            self.init_random()
+        self._init_missing()
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         if self._jit_forward is None:
             self.forward_model  # noqa: B018 - ensure attribute exists
@@ -343,9 +369,13 @@ class StyleSingerInfer:
 
 
 def example_run(cfg: Optional[Config] = None,
-                out_path: str = "infer_out/test.wav") -> str:
+                out_path: str = "infer_out/test.wav",
+                allow_random: bool = False) -> str:
     """Mirror of the reference demo (inference/StyleSinger.py:182-329):
-    a fixed Chinese phrase with MIDI notes + the bundled reference clip."""
+    a fixed Chinese phrase with MIDI notes + the bundled reference clip.
+
+    Loads the latest checkpoint from ``cfg['work_dir']`` when one exists;
+    refuses to synthesize from random weights unless ``allow_random``."""
     cfg = cfg or load_config()
     inp = {
         "text": "小酒窝长睫毛AP是你最美的记号",
@@ -361,6 +391,15 @@ def example_run(cfg: Optional[Config] = None,
         "ref_audio": "/root/reference/test/test.wav",
     }
     infer = StyleSingerInfer(cfg)
+    work_dir = cfg.get("work_dir") or ""
+    has_ckpt = os.path.isdir(os.path.join(work_dir, "ckpt"))
+    if has_ckpt:
+        infer.load_params(work_dir)  # raises when the dir holds no step
+    elif not allow_random:
+        raise FileNotFoundError(
+            f"no checkpoint under {work_dir or '<unset work_dir>'}/ckpt — "
+            "refusing to synthesize the demo from random weights (train "
+            "first, or pass allow_random=True / --allow_random)")
     wav = infer.infer_once(inp)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     save_wav(wav, out_path, cfg["audio_sample_rate"])

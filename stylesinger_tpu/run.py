@@ -54,6 +54,9 @@ def main() -> None:
     ap.add_argument("--supervise", action="store_true",
                     help="train only: restart-and-resume when the host-RSS "
                     "watchdog checkpoints and exits (code 75)")
+    ap.add_argument("--allow_random", action="store_true",
+                    help="infer only: permit demo synthesis from random "
+                    "weights when the work dir has no checkpoint")
     args = ap.parse_args()
 
     if args.supervise and args.command == "train":
@@ -114,6 +117,9 @@ def main() -> None:
             trainer.fit(endless(), valid_batches)
         except HostMemoryExceeded as e:
             print(f"| {e}")
+            print("| host-RSS watchdog checkpointed and is exiting 75 "
+                  "(restartable, NOT a crash) — rerun with --supervise to "
+                  "restart-and-resume automatically")
             raise SystemExit(RESTART_EXIT_CODE)
         return
 
@@ -159,7 +165,11 @@ def main() -> None:
 
     if args.command == "infer":
         from stylesinger_tpu.inference import example_run
-        out = example_run(cfg, out_path=args.out)
+        try:
+            out = example_run(cfg, out_path=args.out,
+                              allow_random=args.allow_random)
+        except FileNotFoundError as e:
+            raise SystemExit(f"| ERROR: {e}")
         print(f"| wrote {out}")
 
 

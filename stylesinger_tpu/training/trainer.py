@@ -60,10 +60,26 @@ def host_rss_gb() -> float:
     return 0.0
 
 
+def _is_remote_pjrt_backend() -> bool:
+    """True when the device backend is a remote-PJRT tunnel (axon): the
+    only backend class where the per-step host-RSS leak is known to occur
+    (docs/OPS.md). Local cpu/gpu/tpu plugins don't leak per step."""
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu", "gpu", "tpu", "rocm",
+                                             "cuda")
+    except Exception:
+        return False
+
+
 def resolve_rss_limit_gb(cfg_value: float) -> float:
-    """``max_host_rss_gb`` semantics: 0 = auto (85% of MemTotal),
+    """``max_host_rss_gb`` semantics: 0 = auto (arm at 85% of MemTotal
+    ONLY when running on a remote-PJRT/tunnel backend; disabled on local
+    backends so a legitimately high-memory local run is never interrupted),
     negative = disabled (inf), positive = explicit GB ceiling."""
     if cfg_value is None or cfg_value < 0:
+        return float("inf")
+    if cfg_value == 0 and not _is_remote_pjrt_backend():
         return float("inf")
     if cfg_value > 0:
         return float(cfg_value)

@@ -9,10 +9,28 @@ modules only need torch/numpy.
 
 from __future__ import annotations
 
+import os
 import sys
 import types
 
-_REF = "/root/reference"
+# resolvable via env so the suite is not coupled to this machine's layout
+_REF = os.environ.get("STYLESINGER_REF_ROOT", "/root/reference")
+REF_ROOT = _REF
+
+
+def ref_path(*parts: str) -> str:
+    """Path under the reference checkout (env STYLESINGER_REF_ROOT)."""
+    return os.path.join(_REF, *parts)
+
+
+def require_ref_file(*parts: str) -> str:
+    """ref_path(...) or pytest.skip when the reference tree is absent."""
+    import pytest
+    p = ref_path(*parts)
+    if not os.path.exists(p):
+        pytest.skip(f"reference file {p} not available "
+                    "(set STYLESINGER_REF_ROOT)")
+    return p
 _STUBS = ["chardet", "matplotlib", "matplotlib.pyplot", "librosa",
           "numba", "pyloudnorm", "webrtcvad", "tqdm", "pycwt",
           "parselmouth", "textgrid", "pandas", "sklearn"]

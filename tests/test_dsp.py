@@ -54,7 +54,8 @@ def test_wav2mel_batched(rng):
 
 def test_real_test_wav_mel():
     from stylesinger_tpu.dsp.mel import load_wav
-    wav = load_wav("/root/reference/test/test.wav", 48000)
+    from ref_compat import require_ref_file
+    wav = load_wav(require_ref_file("test", "test.wav"), 48000)
     assert len(wav) > 48000
     out = wav2spec_np(wav[:48000 * 2])
     assert out["mel"].shape[1] == 80
@@ -259,7 +260,8 @@ def test_autocorr_pitch_vs_praat_golden_testwav():
 
     gold = np.load(os.path.join(os.path.dirname(__file__), "goldens",
                                 "f0_testwav_48k_hop256.npy"))
-    wav = load_wav("/root/reference/test/test.wav", 48000)[: 48000 * 6]
+    from ref_compat import require_ref_file
+    wav = load_wav(require_ref_file("test", "test.wav"), 48000)[: 48000 * 6]
     ours = np.asarray(extract_pitch(wav, hop_size=256, sample_rate=48000))
     n = min(len(ours), len(gold))
     ffe, agree, med = _ffe(ours[:n], gold[:n])

@@ -217,3 +217,50 @@ def test_cli_end_to_end(tmp_path, rng, monkeypatch):
     assert any(w.endswith(".wav") for w in wavs)
     assert os.path.exists(gen / "meta.csv")
     assert os.path.exists(gen / "result_f0s.npy")
+
+
+def test_load_params_not_clobbered_by_infer(tmp_path, rng):
+    """Advisor regression (r2 medium): load_params followed by infer must
+    keep the loaded acoustic weights — the missing-encoder guard used to
+    call init_random(), silently re-randomizing self.variables."""
+    import jax
+    import types
+
+    sr = 24000
+    t = np.arange(sr) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref_fn = str(tmp_path / "ref.wav")
+    save_wav(ref, ref_fn, sr)
+    cfg = tiny_test_config(
+        audio_sample_rate=sr, fft_size=512, win_size=512, hop_size=64,
+        fmax=12000, max_frames=48, binary_data_dir=str(tmp_path))
+    from stylesinger_tpu.inference import StyleSingerInfer
+
+    infer = StyleSingerInfer(cfg, phone_list=["a", "b", "c"])
+    infer._init_acoustic()
+    # identity check suffices: any re-init would build NEW leaf arrays
+    params = infer.variables["params"]
+    state = types.SimpleNamespace(params=params,
+                                  codebook=infer.variables.get(
+                                      "codebook", {}))
+    infer.variables = None
+    infer.load_params(state)
+    out = infer.forward_model(infer.preprocess_input({
+        "ph": "a b c", "notes": [60, 62, 64],
+        "notes_duration": [0.2, 0.2, 0.2], "note_types": [1, 1, 1],
+        "ref_audio": ref_fn,
+    }), max_frames=48)
+    assert np.isfinite(out["wav"]).all()
+    # the loaded params survived both guards (preprocess + forward)
+    assert infer.variables["params"] is params
+
+
+def test_load_params_refuses_empty_work_dir(tmp_path):
+    """Advisor regression (r2 low): a work dir without any checkpoint must
+    raise instead of silently returning random weights at step 0."""
+    cfg = tiny_test_config(binary_data_dir=str(tmp_path))
+    from stylesinger_tpu.inference import StyleSingerInfer
+
+    infer = StyleSingerInfer(cfg, phone_list=["a", "b", "c"])
+    with pytest.raises(FileNotFoundError):
+        infer.load_params(str(tmp_path / "empty_exp"))

@@ -30,8 +30,9 @@ def test_file_roundtrip(tmp_path):
 
 def test_reference_phone_set_loads():
     # the 58-phone ZH set shipped with the reference checkpoint
+    from ref_compat import require_ref_file
     enc = TokenTextEncoder.from_file(
-        "/root/reference/ZH_checkpoint_phone_set.json")
+        require_ref_file("ZH_checkpoint_phone_set.json"))
     assert len(enc) >= 58
     assert enc.encode("a")[0] >= 3
 
@@ -75,7 +76,8 @@ def test_en_processor():
 def _ref_text_norm():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
-        "ref_text_norm", "/root/reference/utils/text_norm.py")
+        "ref_text_norm",
+        __import__("ref_compat").require_ref_file("utils", "text_norm.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod

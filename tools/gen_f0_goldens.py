@@ -43,7 +43,9 @@ def main() -> None:
 
     from stylesinger_tpu.dsp.mel import load_wav
 
-    wav = load_wav("/root/reference/test/test.wav", 48000)[: 48000 * 6]
+    ref_root = os.environ.get("STYLESINGER_REF_ROOT", "/root/reference")
+    wav = load_wav(os.path.join(ref_root, "test", "test.wav"),
+                   48000)[: 48000 * 6]
     gold, t1 = to_pitch_ac(wav, 48000, 256 / 48000)
     gold_mel = to_mel_frames(gold, len(wav) // 256, 256)
     np.save(os.path.join(OUT, "f0_testwav_48k_hop256.npy"),
