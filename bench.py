@@ -13,13 +13,15 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def main(batch: int = 1, metric: str = "e2e_rtf", **cfg_overrides) -> None:
+def main(batch: int = 1, metric: str = "e2e_rtf", cpu_fallback: bool = False,
+         **cfg_overrides) -> None:
     """Zero-shot transfer RTF at ``batch`` concurrent utterances (batch>1 =
     BASELINE config 5 serving throughput; reported per utterance).
     ``cfg_overrides`` are forwarded to load_config (e.g. pndm_speedup=5)."""
@@ -32,13 +34,19 @@ def main(batch: int = 1, metric: str = "e2e_rtf", **cfg_overrides) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if cpu_fallback:
+        # the env-derived platform is locked by the axon sitecustomize;
+        # override at the config level (same mechanism as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
 
     from stylesinger_tpu.config import load_config
     from stylesinger_tpu.models.hifigan import HifiGanGenerator
     from stylesinger_tpu.models.stylesinger import StyleSinger
 
     vocab = 64
-    frames = 1024                     # ~5.5 s of 48 kHz audio at hop 256
+    # ~5.5 s of 48 kHz audio at hop 256; a small buffer on the CPU
+    # fallback so the run stays inside any driver budget
+    frames = 256 if cpu_fallback else 1024
     cfg = load_config(max_frames=frames, max_input_tokens=128,
                       vocoder_compute_dtype="bfloat16", **cfg_overrides)
     hop = cfg["hop_size"]
@@ -49,7 +57,7 @@ def main(batch: int = 1, metric: str = "e2e_rtf", **cfg_overrides) -> None:
 
     k = jax.random.PRNGKey(0)
     ks = jax.random.split(k, 8)
-    b, t_txt, t_ref = batch, 96, 512
+    b, t_txt, t_ref = batch, 96, (128 if cpu_fallback else 512)
     inp = dict(
         txt_tokens=jax.random.randint(ks[0], (b, t_txt), 1, vocab),
         spk_embed=jax.random.normal(ks[1], (b, 256)),
@@ -106,7 +114,7 @@ def main(batch: int = 1, metric: str = "e2e_rtf", **cfg_overrides) -> None:
         float(probe(xs).sum())
     rtt = (time.perf_counter() - t0) / 5
 
-    n_iter = 10
+    n_iter = 2 if cpu_fallback else 10
     t0 = time.perf_counter()
     out = None
     for i in range(n_iter):
@@ -125,11 +133,17 @@ def main(batch: int = 1, metric: str = "e2e_rtf", **cfg_overrides) -> None:
     content_sec = max(content_frames * hop / sr, 1e-9)
     rtf = dt / wav_sec
     content_rtf = dt / content_sec
-    print(json.dumps({
+    row = {
         "metric": metric, "value": round(rtf, 5),
         "unit": "sec/wav-sec", "vs_baseline": round(0.05 / rtf, 3),
         "content_rtf": round(content_rtf, 5),
-        "content_fill": round(content_sec / wav_sec, 3)}))
+        "content_fill": round(content_sec / wav_sec, 3),
+        "backend": jax.default_backend()}
+    if cpu_fallback:
+        row["note"] = ("TPU tunnel unavailable at bench time; CPU-host "
+                       "fallback measurement — NOT comparable to the TPU "
+                       "baseline (see BENCH history for TPU numbers)")
+    print(json.dumps(row))
 
 
 def jnp_full(shape, value):
@@ -137,5 +151,60 @@ def jnp_full(shape, value):
     return jnp.full(shape, value, jnp.float32)
 
 
+def _probe_device_backend(timeout_s: int = 240, attempts: int = 2) -> str:
+    """Initialize the default JAX backend in a SUBPROCESS (backend setup on
+    a broken tunnel can hang indefinitely, not just error) and return its
+    platform name, or '' when unavailable."""
+    import subprocess
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print(jax.default_backend())"],
+                capture_output=True, timeout=timeout_s, text=True)
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip().splitlines()[-1]
+            sys.stderr.write(f"| bench probe attempt {i + 1}: rc="
+                             f"{r.returncode} {r.stderr.strip()[-300:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"| bench probe attempt {i + 1}: backend init "
+                             f"hung > {timeout_s}s\n")
+        time.sleep(5)
+    return ""
+
+
+def run_resilient() -> None:
+    """Never exit nonzero without printing a JSON line: probe the device
+    backend out-of-process, run the real bench on it when healthy, and
+    fall back to a clearly-flagged CPU-host measurement otherwise
+    (round-2 postmortem: the tunnel died at bench time and the driver
+    recorded rc=1 with no metric)."""
+    if os.environ.get("BENCH_INNER") == "1":
+        main()
+        return
+    backend = _probe_device_backend()
+    if backend and backend != "cpu":
+        import subprocess
+        env = dict(os.environ, BENCH_INNER="1")
+        try:  # time-boxed: a cold remote compile is ~15-25 min
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=3600, text=True,
+                               capture_output=True)
+            sys.stderr.write(r.stderr[-2000:])
+            line = next((ln for ln in r.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                print(line)
+                return
+            sys.stderr.write(f"| device bench rc={r.returncode}; "
+                             "falling back to CPU\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("| device bench hung > 3600s; "
+                             "falling back to CPU\n")
+    else:
+        sys.stderr.write("| no healthy device backend; CPU fallback\n")
+    main(cpu_fallback=True)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run_resilient())
