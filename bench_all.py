@@ -114,6 +114,9 @@ def main() -> None:
     headline.main(metric="e2e_rtf_plms5", pndm_speedup=5)
     # config 4 variant: fast serving — PLMS-5 mel + strided (DDIM/span) F0
     headline.main(metric="e2e_rtf_fast", pndm_speedup=5, f0_speedup=5)
+    # config 4 variant: DPM-Solver++(2M) mel (10 NFE) + strided F0 — the
+    # fastest quality-gated serving path
+    headline.main(metric="e2e_rtf_dpm", dpm_steps=10, f0_speedup=5)
 
     for r in results:
         print(json.dumps(r))

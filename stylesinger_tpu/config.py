@@ -187,6 +187,10 @@ DEFAULTS: Dict[str, Any] = dict(
     diff_loss_type="l1",
     diff_decoder_type="wavenet",
     pndm_speedup=1,
+    # DPM-Solver++(2M) fast mel sampling: number of denoiser calls
+    # (0 = off). Takes precedence over pndm_speedup; 8-12 NFE match
+    # PLMS-20 quality (see tools/eval_fast_samplers.py gates).
+    dpm_steps=0,
     residual_layers=20,
     residual_channels=256,
     dilation_cycle_length=4,

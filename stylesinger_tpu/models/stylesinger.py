@@ -358,7 +358,12 @@ class StyleSinger(nn.Module):
         if infer:
             coarse_norm = diff.norm_spec(coarse, self.spec_min, self.spec_max)
             speedup = int(c.get("pndm_speedup", 1) or 1)
-            if speedup > 1:
+            dpm_steps = int(c.get("dpm_steps", 0) or 0)
+            if dpm_steps > 0:
+                x = diff.sample_shallow_dpmpp(denoise_fn, self.mel_sched,
+                                              coarse_norm, rng, c["K_step"],
+                                              dpm_steps)
+            elif speedup > 1:
                 x = diff.sample_shallow_plms(denoise_fn, self.mel_sched,
                                              coarse_norm, rng, c["K_step"],
                                              speedup)

@@ -479,3 +479,76 @@ def test_fft_denoiser_dropout_gated_by_deterministic():
     np.testing.assert_array_equal(np.asarray(det),
                                   np.asarray(net.apply(v, x, t, cond)))
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+def test_dpmpp_exact_for_point_mass_oracle():
+    """DPM-Solver++(2M) algebra check: when the denoiser is the exact
+    eps-oracle of a point-mass data distribution (eps = (x_t - a_t x0*)
+    / s_t), the data prediction is exact at every grid point, so ANY
+    correct solver must land exactly on x0* — including the final
+    sigma->0 step. Validates the update coefficients end-to-end."""
+    from stylesinger_tpu.models import diffusion as diff
+
+    sched = diff.make_schedule(64, 0.06, "linear")
+    x0_star = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.8, 0.8, (2, 12, 8)), jnp.float32)
+    a = jnp.asarray(sched.sqrt_alphas_cumprod)
+    s = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)
+
+    def oracle(x, t):
+        a_t = a[t].reshape(-1, 1, 1)
+        s_t = s[t].reshape(-1, 1, 1)
+        return (x - a_t * x0_star) / s_t
+
+    for n in (1, 2, 4, 8):
+        out = diff.sample_shallow_dpmpp(oracle, sched, jnp.zeros_like(
+            x0_star), jax.random.PRNGKey(3), 64, n)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0_star),
+                                   atol=2e-4, err_msg=f"n_steps={n}")
+
+
+def test_dpmpp_converges_to_probability_flow():
+    """Self-convergence on a nontrivial linear-Gaussian denoiser: the
+    8-call solution must be close to the 48-call one (both integrate the
+    same probability-flow ODE; the coarse grid's error must be small),
+    and strictly closer than the 2-call one (order sanity)."""
+    from stylesinger_tpu.models import diffusion as diff
+
+    sched = diff.make_schedule(64, 0.06, "linear")
+    mu = 0.3
+    s2 = 0.05 ** 2
+    a = jnp.asarray(sched.sqrt_alphas_cumprod)
+    s = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)
+
+    def gauss_denoiser(x, t):
+        # exact eps posterior for x0 ~ N(mu, s2 I)
+        a_t = a[t].reshape(-1, 1, 1)
+        s_t = s[t].reshape(-1, 1, 1)
+        x0_hat = (a_t * s2 * x + (s_t ** 2) * mu) / \
+            (a_t ** 2 * s2 + s_t ** 2)
+        return (x - a_t * x0_hat) / s_t
+
+    coarse = jax.random.normal(KEY, (1, 16, 8)) * 0.2 + mu
+    rng = jax.random.PRNGKey(11)
+    ref = diff.sample_shallow_dpmpp(gauss_denoiser, sched, coarse, rng,
+                                    64, 48)
+    mid = diff.sample_shallow_dpmpp(gauss_denoiser, sched, coarse, rng,
+                                    64, 8)
+    lo = diff.sample_shallow_dpmpp(gauss_denoiser, sched, coarse, rng,
+                                   64, 2)
+    err_mid = float(jnp.abs(mid - ref).mean())
+    err_lo = float(jnp.abs(lo - ref).mean())
+    assert err_mid < 0.02, err_mid
+    assert err_mid < err_lo, (err_mid, err_lo)
+
+
+def test_stylesinger_infer_dpm_steps(ss_setup):
+    """End-to-end inference through the DPM-Solver++ mel sampler."""
+    m, b, variables = ss_setup
+    m2 = type(m)(dict(m.cfg, dpm_steps=3), m.vocab_size)
+    ret = m2.apply(
+        variables, b["txt_tokens"], None, b["spk_embed"], b["emo_embed"],
+        b["ref_mels"], b["ref_f0"], None, None, b["note"], b["note_dur"],
+        b["note_type"], infer=True, use_diff=True, max_frames=48,
+        rngs={"diffusion": KEY, "rq": KEY})
+    assert np.isfinite(np.asarray(ret["mel_out"])).all()

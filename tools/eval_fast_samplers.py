@@ -83,6 +83,9 @@ def main() -> int:
         "plms5": base + ",pndm_speedup=5",
         "f0fast5": base + ",f0_speedup=5",
         "fast_both": base + ",pndm_speedup=5,f0_speedup=5",
+        # DPM-Solver++(2M): 10 NFE vs PLMS-5's 20 on the mel stage
+        "dpm10": base + ",dpm_steps=10",
+        "dpm10_f0fast5": base + ",dpm_steps=10,f0_speedup=5",
     }
     results = {}
     step = None
@@ -95,7 +98,8 @@ def main() -> int:
     exact = results["exact"]
     gates_ok = True
     deltas = {}
-    for label in ("plms5", "f0fast5", "fast_both"):
+    for label in ("plms5", "f0fast5", "fast_both", "dpm10",
+                  "dpm10_f0fast5"):
         d_ffe = results[label]["ffe"] - exact["ffe"]
         d_mcd = (results[label]["mcd"] - exact["mcd"]) / max(exact["mcd"],
                                                             1e-9)
