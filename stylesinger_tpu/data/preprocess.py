@@ -122,3 +122,106 @@ class Preprocessor:
             for p in sorted(phones):
                 f.write(f"{p} {p}\n")
         return mfa_dir
+
+
+# ---------------------------------------------------------------------------
+# Dataset meta-data adapters (reference egs/datasets/audio/*/pre_align.py):
+# each yields raw-item dicts {item_name, wav_fn, txt, spk_name[, emotion]}
+# for Preprocessor.process. Registered by name so recipes can select one
+# via cfg `pre_align_cls` exactly like the reference's binarizer_cls.
+# ---------------------------------------------------------------------------
+
+META_ADAPTERS: Dict[str, Any] = {}
+
+
+def register_meta_adapter(name: str):
+    def wrap(fn):
+        META_ADAPTERS[name] = fn
+        return fn
+    return wrap
+
+
+@register_meta_adapter("lj")
+def lj_meta_data(raw_data_dir: str):
+    """LJSpeech metadata.csv: item|raw|normalized text, single speaker
+    (egs/datasets/audio/lj/pre_align.py)."""
+    for line in open(os.path.join(raw_data_dir, "metadata.csv"),
+                     encoding="utf-8"):
+        parts = line.strip().split("|")
+        if len(parts) < 3:
+            continue
+        item_name, _, txt = parts[0], parts[1], parts[2]
+        yield {"item_name": item_name,
+               "wav_fn": os.path.join(raw_data_dir, "wavs",
+                                      f"{item_name}.wav"),
+               "txt": txt, "spk_name": "SPK1"}
+
+
+@register_meta_adapter("emotion")
+def emotion_meta_data(raw_data_dir: str):
+    """ESD-style layout: <spk>/<spk>.txt lines 'item txt... emotion lang',
+    wavs under <spk>/<emotion>/ (egs/datasets/audio/emotion/pre_align.py)."""
+    import re
+
+    pattern = re.compile(r"[\t\n ]+")
+    spks = sorted(d for d in os.listdir(raw_data_dir)
+                  if os.path.isdir(os.path.join(raw_data_dir, d)))
+    for spk in spks:
+        index = os.path.join(raw_data_dir, spk, f"{spk}.txt")
+        if not os.path.exists(index):
+            continue
+        for line in open(index, encoding="utf-8"):
+            # reference slicing relies on the trailing '' produced by the
+            # newline->space substitution: [item, txt..., emotion, '']
+            line = re.sub(pattern, " ", line)
+            if line == " " or line.strip() == "":
+                continue
+            split_ = line.split(" ")
+            item_name, txt = split_[0], " ".join(split_[1:-2])
+            emotion = split_[-2]
+            yield {"item_name": item_name,
+                   "wav_fn": os.path.join(raw_data_dir, spk, emotion,
+                                          f"{item_name}.wav"),
+                   "txt": txt, "spk_name": spk, "emotion": emotion}
+
+
+@register_meta_adapter("libritts")
+def libritts_meta_data(raw_data_dir: str):
+    """LibriTTS: */*/*.wav with sibling .normalized.txt; speaker = first
+    item-name field (egs/datasets/audio/libritts/pre_align.py)."""
+    import glob
+
+    for wav_fn in sorted(glob.glob(os.path.join(raw_data_dir, "*", "*",
+                                                "*.wav"))):
+        item_name = os.path.basename(wav_fn)[:-4]
+        txt_fn = wav_fn[:-4] + ".normalized.txt"
+        if not os.path.exists(txt_fn):
+            continue
+        with open(txt_fn, encoding="utf-8") as f:
+            txt = f.readline().strip()
+        yield {"item_name": item_name, "wav_fn": wav_fn, "txt": txt,
+               "spk_name": item_name.split("_")[0]}
+
+
+@register_meta_adapter("vctk")
+def vctk_meta_data(raw_data_dir: str):
+    """VCTK: wav48/<spk>/*.wav with transcripts under txt/<spk>/
+    (egs/datasets/audio/vctk/pre_align.py)."""
+    import glob
+
+    for wav_fn in sorted(glob.glob(os.path.join(raw_data_dir, "wav48", "*",
+                                                "*.wav"))):
+        item_name = os.path.basename(wav_fn)[:-4]
+        spk = item_name.split("_")[0]
+        txt_fn = os.path.join(raw_data_dir, "txt", spk, f"{item_name}.txt")
+        if not os.path.exists(txt_fn):
+            continue
+        with open(txt_fn, encoding="utf-8") as f:
+            txt = f.read().strip()
+        yield {"item_name": item_name, "wav_fn": wav_fn, "txt": txt,
+               "spk_name": spk}
+
+
+def load_meta_data(name: str, raw_data_dir: str):
+    """Materialize a registered adapter's rows."""
+    return list(META_ADAPTERS[name](raw_data_dir))

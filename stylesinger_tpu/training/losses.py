@@ -219,3 +219,60 @@ def compute_losses(ret: Dict, batch: Dict, cfg: Any, *, use_rq: bool,
         losses.update(f0_uv_losses(ret["pitch_pred"], batch["f0"],
                                    batch["uv"], nonpadding, cfg))
     return losses
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution STFT loss (reference modules/parallel_wavegan/
+# stft_loss.py:13-100 + losses/stft_loss.py:12-74 — the PWG vocoder's
+# auxiliary loss). Pure-JAX: reflect-pad + framed rfft per resolution.
+# ---------------------------------------------------------------------------
+
+def _stft_mag_torchlike(x: jnp.ndarray, fft_size: int, hop_size: int,
+                        win_length: int) -> jnp.ndarray:
+    """|STFT| with torch.stft semantics (center=True, REFLECT padding,
+    periodic hann of win_length zero-centered in the fft frame) and the
+    reference's 1e-7 magnitude clamp (losses/stft_loss.py:31).
+
+    Framing is inlined (dsp.mel.frame_signal constant-pads; reflect edges
+    matter for loss parity at these short windows)."""
+    from stylesinger_tpu.dsp.mel import _hann_periodic
+
+    pad = fft_size // 2
+    widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    xp = jnp.pad(x, widths, mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - fft_size) // hop_size
+    idx = (jnp.arange(n_frames)[:, None] * hop_size +
+           jnp.arange(fft_size)[None, :])
+    frames = xp[..., idx]
+    window = jnp.asarray(_hann_periodic(win_length))
+    lpad = (fft_size - win_length) // 2
+    window = jnp.pad(window, (lpad, fft_size - win_length - lpad))
+    mag = jnp.abs(jnp.fft.rfft(frames * window, n=fft_size, axis=-1))
+    return jnp.sqrt(jnp.maximum(mag * mag, 1e-7))
+
+
+def stft_loss(x: jnp.ndarray, y: jnp.ndarray, fft_size: int, hop_size: int,
+              win_length: int):
+    """(spectral convergence, log-magnitude L1) for wavs x (pred), y (GT)
+    of shape [B, T] (stft_loss.py:34-74)."""
+    x_mag = _stft_mag_torchlike(x, fft_size, hop_size, win_length)
+    y_mag = _stft_mag_torchlike(y, fft_size, hop_size, win_length)
+    sc = jnp.linalg.norm(y_mag - x_mag) / jnp.maximum(
+        jnp.linalg.norm(y_mag), 1e-12)
+    mag = jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)).mean()
+    return sc, mag
+
+
+def multi_resolution_stft_loss(x: jnp.ndarray, y: jnp.ndarray,
+                               fft_sizes=(1024, 2048, 512),
+                               hop_sizes=(120, 240, 50),
+                               win_lengths=(600, 1200, 240)):
+    """Reference MultiResolutionSTFTLoss defaults (stft_loss.py:58-62):
+    mean (sc, mag) over the three resolutions."""
+    sc_sum, mag_sum = 0.0, 0.0
+    for fs, hs, wl in zip(fft_sizes, hop_sizes, win_lengths):
+        sc, mag = stft_loss(x, y, fs, hs, wl)
+        sc_sum += sc
+        mag_sum += mag
+    n = float(len(fft_sizes))
+    return sc_sum / n, mag_sum / n

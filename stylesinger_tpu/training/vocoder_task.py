@@ -77,6 +77,10 @@ def make_vocoder_steps(cfg: Any):
     gen, mpd, msd = make_vocoder_models(cfg)
     lambda_fm = cfg.get("lambda_fm", 2.0)
     lambda_mel = cfg.get("lambda_mel", 45.0)
+    # PWG-style auxiliary multi-resolution STFT loss (reference
+    # modules/parallel_wavegan/stft_loss.py); off by default to match the
+    # reference HiFi-GAN recipe, on for PWG-style training
+    lambda_ms_stft = cfg.get("lambda_ms_stft", 0.0)
     sr = cfg["audio_sample_rate"]
 
     def gen_wav(gen_params, mel, f0, rng):
@@ -130,7 +134,15 @@ def make_vocoder_steps(cfg: Any):
                 feature_matching_loss(rfs, ffs)
             mel_l1 = jnp.abs(mel_of(fake) - mel_of(real)).mean()
             total = adv + lambda_fm * fm + lambda_mel * mel_l1
-            return total, {"adv": adv, "fm": fm, "mel_l1": mel_l1}
+            parts = {"adv": adv, "fm": fm, "mel_l1": mel_l1}
+            if lambda_ms_stft > 0:
+                from stylesinger_tpu.training.losses import (
+                    multi_resolution_stft_loss,
+                )
+                sc, mag = multi_resolution_stft_loss(fake, real)
+                parts["ms_stft"] = sc + mag
+                total = total + lambda_ms_stft * (sc + mag)
+            return total, parts
 
         (total, parts), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.gen_params)

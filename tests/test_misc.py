@@ -170,3 +170,52 @@ def test_fit_bucket():
     assert _fit_bucket(64, (64, 128)) == 64
     assert _fit_bucket(300, (64, 128, 256)) == 300
     assert _fit_bucket(5, ()) == 5
+
+
+def test_meta_adapters(tmp_path):
+    """Dataset meta-data adapters mirror the reference pre_align classes
+    (egs/datasets/audio/{lj,emotion,libritts,vctk}/pre_align.py)."""
+    from stylesinger_tpu.data.preprocess import load_meta_data
+
+    # LJ layout
+    lj = tmp_path / "lj"
+    (lj / "wavs").mkdir(parents=True)
+    (lj / "metadata.csv").write_text(
+        "LJ001-0001|raw text|Printing, then.\nLJ001-0002|r|Second line.\n")
+    rows = load_meta_data("lj", str(lj))
+    assert [r["item_name"] for r in rows] == ["LJ001-0001", "LJ001-0002"]
+    assert rows[0]["txt"] == "Printing, then."
+    assert rows[0]["spk_name"] == "SPK1"
+    assert rows[0]["wav_fn"].endswith("wavs/LJ001-0001.wav")
+
+    # ESD/emotion layout
+    emo = tmp_path / "emo"
+    (emo / "0011" / "Happy").mkdir(parents=True)
+    (emo / "0011" / "0011.txt").write_text(
+        "0011_000001\tThe text here\tHappy\n")
+    rows = load_meta_data("emotion", str(emo))
+    assert rows[0]["item_name"] == "0011_000001"
+    assert rows[0]["emotion"] == "Happy"
+    assert rows[0]["txt"] == "The text here"
+    assert rows[0]["wav_fn"].endswith("0011/Happy/0011_000001.wav")
+
+    # LibriTTS layout
+    lt = tmp_path / "libritts" / "103" / "1241"
+    lt.mkdir(parents=True)
+    (lt / "103_1241_000000_000001.wav").write_bytes(b"")
+    (lt / "103_1241_000000_000001.normalized.txt").write_text(
+        "matthew Cuthbert is surprised\n")
+    rows = load_meta_data("libritts", str(tmp_path / "libritts"))
+    assert rows[0]["spk_name"] == "103"
+    assert rows[0]["txt"] == "matthew Cuthbert is surprised"
+
+    # VCTK layout
+    vc = tmp_path / "vctk"
+    (vc / "wav48" / "p225").mkdir(parents=True)
+    (vc / "txt" / "p225").mkdir(parents=True)
+    (vc / "wav48" / "p225" / "p225_001.wav").write_bytes(b"")
+    (vc / "txt" / "p225" / "p225_001.txt").write_text("Please call Stella.\n")
+    rows = load_meta_data("vctk", str(vc))
+    assert rows[0]["item_name"] == "p225_001"
+    assert rows[0]["spk_name"] == "p225"
+    assert rows[0]["txt"] == "Please call Stella."

@@ -473,3 +473,66 @@ def test_supervise_restarts_on_exit_75(tmp_path):
     code = supervise([sys.executable, str(script)])
     assert code == 0
     assert counter.read_text() == "3"  # two restarts + final clean run
+
+
+def test_multi_resolution_stft_loss_matches_torch():
+    """Golden parity vs the reference formulas computed with torch.stft
+    (modules/parallel_wavegan/losses/stft_loss.py:12-74 + the multi-res
+    average of stft_loss.py:55-100)."""
+    import torch
+
+    from stylesinger_tpu.training.losses import multi_resolution_stft_loss
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 8192)).astype(np.float32) * 0.3
+    y = x + rng.standard_normal((2, 8192)).astype(np.float32) * 0.05
+
+    def torch_mag(sig, fft, hop, win):
+        w = torch.hann_window(win)
+        st = torch.stft(torch.from_numpy(sig), fft, hop, win, w,
+                        return_complex=True)
+        mag = torch.sqrt(
+            torch.clamp(st.real ** 2 + st.imag ** 2, min=1e-7))
+        return mag.transpose(2, 1)
+
+    sc_ref, mag_ref = 0.0, 0.0
+    cfgs = [(1024, 120, 600), (2048, 240, 1200), (512, 50, 240)]
+    for fft, hop, win in cfgs:
+        xm = torch_mag(x, fft, hop, win)
+        ym = torch_mag(y, fft, hop, win)
+        sc_ref += (torch.norm(ym - xm, p="fro") /
+                   torch.norm(ym, p="fro")).item()
+        mag_ref += torch.nn.functional.l1_loss(
+            torch.log(ym), torch.log(xm)).item()
+    sc_ref /= len(cfgs)
+    mag_ref /= len(cfgs)
+
+    sc, mag = multi_resolution_stft_loss(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(sc), sc_ref, rtol=2e-3)
+    np.testing.assert_allclose(float(mag), mag_ref, rtol=2e-3)
+
+
+def test_vocoder_gen_step_with_ms_stft(tiny_cfg):
+    """Generator step runs and optimizes with the PWG aux loss enabled."""
+    from stylesinger_tpu.training.vocoder_task import (
+        init_vocoder_state, make_vocoder_steps,
+    )
+
+    cfg = dict(tiny_cfg)
+    cfg["lambda_ms_stft"] = 1.0
+    hop = int(np.prod(cfg["upsample_rates"]))
+    frames = 128  # >= 2048-fft at the multi-res settings needs 8192+ samples
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, frames, cfg["audio_num_mel_bins"])).astype(np.float32)) - 2.0
+    f0 = jnp.full((1, frames), 200.0)
+    state = init_vocoder_state(cfg, jax.random.PRNGKey(0), mel, f0)
+    gen_step, _ = make_vocoder_steps(cfg)
+    batch = {
+        "mels": mel,
+        "f0": f0,
+        "wav": jnp.asarray(np.random.default_rng(1).standard_normal(
+            (1, frames * hop)).astype(np.float32) * 0.1),
+    }
+    state2, metrics = gen_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["ms_stft"]))
+    assert np.isfinite(float(metrics["gen_loss"]))
