@@ -9,6 +9,8 @@ set ``num_workers<=1`` (or JAX-in-worker workloads) for in-process mapping.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import traceback
 from typing import Any, Callable, Iterator, List, Optional, Tuple
 
@@ -22,6 +24,33 @@ def _safe_call(job: Tuple[Callable, tuple]) -> Any:
         return None
 
 
+@contextlib.contextmanager
+def host_only_children():
+    """Spawned children skip remote-accelerator registration.
+
+    Worker processes do HOST work only (same division as the reference:
+    the binarizer pool does CPU DSP, device work stays on the main
+    process). On remote-PJRT boxes a sitecustomize registers the tunnel
+    backend in EVERY interpreter it is armed for; when the tunnel is
+    down, that registration retry-sleeps and wedges each spawn child at
+    startup (observed: pool workers asleep forever under a dead tunnel).
+    Clearing the arming variables around Process/Pool start keeps the
+    children clean CPU interpreters."""
+    scrub = ("PALLAS_AXON_POOL_IPS",)
+    saved = {k: os.environ.pop(k) for k in scrub if k in os.environ}
+    had_platforms = "JAX_PLATFORMS" in os.environ
+    prev_platforms = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        yield
+    finally:
+        os.environ.update(saved)
+        if had_platforms:
+            os.environ["JAX_PLATFORMS"] = prev_platforms
+        else:
+            os.environ.pop("JAX_PLATFORMS", None)
+
+
 def multiprocess_run(fn: Callable, args_list: List[tuple],
                      num_workers: int = 1,
                      desc: Optional[str] = None) -> Iterator[Tuple[int, Any]]:
@@ -32,7 +61,9 @@ def multiprocess_run(fn: Callable, args_list: List[tuple],
         return
     import multiprocessing as mp
     ctx = mp.get_context("spawn")
-    with ctx.Pool(num_workers) as pool:
+    with host_only_children():
+        pool = ctx.Pool(num_workers)
+    with pool:
         for i, res in enumerate(
                 pool.imap(_safe_call, [(fn, a) for a in args_list])):
             yield i, res

@@ -8,6 +8,12 @@ paths are exercised without TPU hardware.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force even when an axon TPU is tunneled
+# Disarm remote-PJRT registration in every CHILD interpreter the suite
+# spawns (subprocess CLI tests, 2-process distributed test, pool workers):
+# the sitecustomize it triggers retry-sleeps forever when the tunnel is
+# down, wedging children at startup. In-process we already force cpu via
+# jax.config below; children need the env-level disarm.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     # 8 virtual devices; on low-core CI boxes the per-device programs run

@@ -219,3 +219,25 @@ def test_meta_adapters(tmp_path):
     assert rows[0]["item_name"] == "p225_001"
     assert rows[0]["spk_name"] == "p225"
     assert rows[0]["txt"] == "Please call Stella."
+
+
+def test_host_only_children_env_contract():
+    """Pool workers must spawn with remote-PJRT registration disarmed and
+    JAX_PLATFORMS=cpu, and the parent env must be restored afterwards
+    (regression: spawn children wedged at startup under a dead tunnel)."""
+    import os
+
+    from stylesinger_tpu.utils.multiprocess import host_only_children
+
+    os.environ["PALLAS_AXON_POOL_IPS"] = "10.0.0.1"
+    prev_platforms = os.environ.get("JAX_PLATFORMS")
+    try:
+        with host_only_children():
+            assert "PALLAS_AXON_POOL_IPS" not in os.environ
+            assert os.environ["JAX_PLATFORMS"] == "cpu"
+        assert os.environ["PALLAS_AXON_POOL_IPS"] == "10.0.0.1"
+        assert os.environ.get("JAX_PLATFORMS") == prev_platforms
+    finally:
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        if prev_platforms is not None:
+            os.environ["JAX_PLATFORMS"] = prev_platforms
