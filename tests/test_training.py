@@ -439,8 +439,18 @@ def test_rss_watchdog_checkpoints_and_raises(tmp_path, tiny_cfg, rng):
     assert host_rss_gb() > 0.01  # we certainly use >10 MB
     assert resolve_rss_limit_gb(-1.0) == float("inf")
     assert resolve_rss_limit_gb(7.5) == 7.5
-    auto = resolve_rss_limit_gb(0.0)
-    assert 0.1 < auto < 16384  # 85% of MemTotal, sane bounds
+    # auto (0.0) arms ONLY on remote-PJRT/tunnel backends; on the CPU
+    # test backend it must stay off (r2 advisor: a legitimately
+    # high-memory local run must never be interrupted)
+    assert resolve_rss_limit_gb(0.0) == float("inf")
+    import stylesinger_tpu.training.trainer as trainer_mod
+    orig = trainer_mod._is_remote_pjrt_backend
+    trainer_mod._is_remote_pjrt_backend = lambda: True
+    try:
+        auto = resolve_rss_limit_gb(0.0)
+        assert 0.1 < auto < 16384  # 85% of MemTotal, sane bounds
+    finally:
+        trainer_mod._is_remote_pjrt_backend = orig
 
     cfg = dict(tiny_cfg)
     cfg.update(max_frames=64, max_updates=50, val_check_interval=1000,
