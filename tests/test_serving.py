@@ -16,9 +16,7 @@ def test_export_roundtrip(tmp_path):
         export_synthesizer, load_synthesizer, make_synthesize_fn,
         save_synthesizer,
     )
-    from stylesinger_tpu.serving.export import (
-        _example_batch, _init_variables,
-    )
+    from stylesinger_tpu.serving.export import _init_variables
 
     cfg = tiny_test_config(max_frames=32)
     vocab, b, t_txt, t_ref = 12, 1, 6, 24
@@ -52,9 +50,7 @@ def test_export_weights_are_arguments(tmp_path):
     """Different weights through the SAME artifact give different audio —
     the export must not bake parameters in as constants."""
     from stylesinger_tpu.serving import export_synthesizer
-    from stylesinger_tpu.serving.export import (
-        _example_batch, _init_variables,
-    )
+    from stylesinger_tpu.serving.export import _init_variables
 
     cfg = tiny_test_config(max_frames=32)
     vocab, b, t_txt, t_ref = 12, 1, 6, 24

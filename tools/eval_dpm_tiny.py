@@ -51,9 +51,17 @@ def main() -> int:
     bin_dir = os.path.join(args.dir, "binary")
     work_dir = os.path.join(args.dir, "work")
 
+    # constant safe lr: the scaled-down rsqrt curriculum would train the
+    # DiffWave eps head at >1e-2 (check_diff_start_lr guard; the head
+    # saturates permanently above ~7e-4 — see STATUS.md r2 diffusion
+    # proof). 5e-4 keeps every subsystem learning at this tiny scale.
+    base_ov = ("scheduler=constant,lr=0.0005,"
+               "val_check_interval=500,tb_log_interval=100")
+
     def cfg_with(overrides: str = ""):
+        ov = base_ov + ("," + overrides if overrides else "")
         return build_cfg(raw, bin_dir, work_dir, args.steps, tiny=True,
-                         overrides=overrides)
+                         overrides=ov)
 
     cfg = cfg_with()
     if not os.path.exists(os.path.join(raw, "metadata.json")):
