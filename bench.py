@@ -114,7 +114,7 @@ def main(batch: int = 1, metric: str = "e2e_rtf", cpu_fallback: bool = False,
         float(probe(xs).sum())
     rtt = (time.perf_counter() - t0) / 5
 
-    n_iter = 2 if cpu_fallback else 10
+    n_iter = 1 if cpu_fallback else 10
     t0 = time.perf_counter()
     out = None
     for i in range(n_iter):
