@@ -225,6 +225,9 @@ DEFAULTS: Dict[str, Any] = dict(
     tb_log_interval=100,
     num_ckpt_keep=3,
     save_best=True,
+    # warm-start weights before training (reference load_ckpt hparam,
+    # strict=False): a torch .ckpt (converted) or a work dir with ckpt/
+    load_ckpt="",
     # host-RSS watchdog: 0 = auto (arms at 85% of MemTotal ONLY on
     # remote-PJRT/tunnel backends, where the client leaks per step; stays
     # off on local cpu/gpu/tpu), -1 = off, else an explicit GB

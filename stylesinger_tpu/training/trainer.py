@@ -93,6 +93,64 @@ def resolve_rss_limit_gb(cfg_value: float) -> float:
     return float("inf")
 
 
+def _nonstrict_merge(target, loaded, path=""):
+    """Copy leaves of ``loaded`` into ``target`` where the path exists with
+    a matching shape; report what was dropped (reference non-strict load,
+    utils/ckpt_utils.py:50-61)."""
+    import numpy as np
+
+    if not isinstance(target, dict) or not isinstance(loaded, dict):
+        return target, []
+    out, dropped = dict(target), []
+    for k, v in loaded.items():
+        p = f"{path}/{k}" if path else str(k)
+        if k not in target:
+            dropped.append(f"{p} (unknown key)")
+        elif isinstance(v, dict):
+            out[k], d = _nonstrict_merge(target[k], v, p)
+            dropped += d
+        elif np.shape(target[k]) != np.shape(v):
+            dropped.append(f"{p} (shape {np.shape(v)} vs "
+                           f"{np.shape(target[k])})")
+        else:
+            out[k] = jnp.asarray(v, jnp.asarray(target[k]).dtype)
+    return out, dropped
+
+
+def warm_start_params(params, load_path: str, cfg):
+    """Initialize ``params`` from another run's weights before training
+    (reference ``load_ckpt`` hparam: egs_bases/config_base.yaml:27,
+    applied strict=False at tasks/StyleSinger/stylesinger.py:36-37).
+
+    ``load_path`` is either a reference torch ``.ckpt`` file (converted
+    via stylesinger_tpu.convert) or a work dir with an orbax ``ckpt/``."""
+    if load_path.endswith(".ckpt"):
+        from stylesinger_tpu.convert import (
+            convert_stylesinger, load_torch_checkpoint,
+        )
+        loaded = convert_stylesinger(load_torch_checkpoint(load_path),
+                                     cfg)["params"]
+    else:
+        import orbax.checkpoint as ocp
+        mgr = ocp.CheckpointManager(
+            os.path.join(os.path.abspath(load_path), "ckpt"))
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"load_ckpt: no checkpoint under {load_path}/ckpt")
+        # restore without a target: raw arrays in the saved tree layout
+        loaded = mgr.restore(step)["params"]
+    merged, dropped = _nonstrict_merge(params, loaded)
+    n_total = len(jax.tree.leaves(loaded))
+    print(f"| warm-start from {load_path}: {n_total - len(dropped)}/"
+          f"{n_total} tensors loaded")
+    for d in dropped[:20]:
+        print(f"|   dropped {d}")
+    if len(dropped) > 20:
+        print(f"|   ... and {len(dropped) - 20} more")
+    return merged
+
+
 class _BatchPrefetcher:
     """Background thread assembling + device-putting upcoming batches.
 
@@ -257,6 +315,12 @@ class Trainer:
             example_batch = next(it)
         state = init_state(self.model, c, example_batch, self.rng)
         state, start = self.ckpt.restore(state)
+        if start == 0 and c.get("load_ckpt", ""):
+            # warm-start (reference `load_ckpt` hparam, strict=False:
+            # tasks/StyleSinger/stylesinger.py:36-37 + utils/ckpt_utils.py
+            # :50-61 — shape-mismatched/unknown keys are dropped with a log)
+            state = state.replace(params=warm_start_params(
+                state.params, c["load_ckpt"], c))
         step = start
 
         t0 = time.time()

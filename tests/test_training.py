@@ -546,3 +546,43 @@ def test_vocoder_gen_step_with_ms_stft(tiny_cfg):
     state2, metrics = gen_step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["ms_stft"]))
     assert np.isfinite(float(metrics["gen_loss"]))
+
+
+def test_warm_start_params_nonstrict(tmp_path, tiny_cfg, rng):
+    """Reference `load_ckpt` warm-start semantics (strict=False): matching
+    leaves load, unknown keys and shape mismatches are dropped."""
+    import jax
+
+    from stylesinger_tpu.training.checkpoint import CheckpointManager
+    from stylesinger_tpu.training.step import init_state
+    from stylesinger_tpu.training.trainer import (
+        Trainer, _nonstrict_merge, warm_start_params,
+    )
+
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _synthetic_batch(cfg, rng, n=2)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+    trainer = Trainer(model, cfg, str(tmp_path / "donor"))
+    state = init_state(model, cfg, trainer._numeric(batch), trainer.rng)
+    donor = jax.tree.map(lambda x: x + 1.0, state.params)
+    mgr = CheckpointManager(str(tmp_path / "donor"), keep=1)
+    mgr.save(5, state.replace(params=donor))
+
+    warmed = warm_start_params(state.params, str(tmp_path / "donor"), cfg)
+    got = jax.tree.leaves(warmed)
+    want = jax.tree.leaves(donor)
+    assert all(np.allclose(g, w) for g, w in zip(got, want))
+
+    # non-strict drops: unknown key + shape mismatch keep the target leaf
+    tgt = {"a": np.zeros((2, 2)), "b": {"c": np.zeros(3)}}
+    src = {"a": np.ones((2, 2)), "b": {"c": np.ones(4)}, "zz": np.ones(1)}
+    merged, dropped = _nonstrict_merge(tgt, src)
+    assert np.allclose(merged["a"], 1.0)
+    assert np.allclose(merged["b"]["c"], 0.0)
+    assert len(dropped) == 2
+
+    # missing checkpoint dir raises
+    with pytest.raises(FileNotFoundError):
+        warm_start_params(state.params, str(tmp_path / "nope"), cfg)
