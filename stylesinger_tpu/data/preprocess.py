@@ -172,10 +172,13 @@ def emotion_meta_data(raw_data_dir: str):
             continue
         for line in open(index, encoding="utf-8"):
             # reference slicing relies on the trailing '' produced by the
-            # newline->space substitution: [item, txt..., emotion, '']
+            # newline->space substitution: [item, txt..., emotion, ''] —
+            # synthesize the sentinel when the last line lacks a newline
             line = re.sub(pattern, " ", line)
-            if line == " " or line.strip() == "":
+            if line.strip() == "":
                 continue
+            if not line.endswith(" "):
+                line += " "
             split_ = line.split(" ")
             item_name, txt = split_[0], " ".join(split_[1:-2])
             emotion = split_[-2]

@@ -125,8 +125,17 @@ class StyleSingerInfer:
             use_diff=True)
 
     def _init_vocoder(self) -> None:
+        """Trained weights from cfg ``vocoder_ckpt`` (torch .ckpt, a
+        reference vocoder work dir, or an orbax dir — same loader as the
+        vocoder registry); random init only as a last resort."""
         import jax.numpy as jnp
 
+        from stylesinger_tpu.vocoder_infer import load_vocoder_params
+
+        params = load_vocoder_params(self.cfg)
+        if params is not None:
+            self.voc_variables = {"params": params}
+            return
         self.voc_variables = self.vocoder.init(
             {"params": self._rng, "noise": self._rng},
             jnp.zeros((1, 16, self.cfg["audio_num_mel_bins"])),
@@ -176,15 +185,16 @@ class StyleSingerInfer:
                 self.variables = convert_stylesinger(sd, self.cfg)
                 return
             from stylesinger_tpu.training.checkpoint import CheckpointManager
-            if self.variables is None:
-                self._init_acoustic()  # shape target for restore only
             mgr = CheckpointManager(state_or_dir,
                                     keep=self.cfg["num_ckpt_keep"])
             if mgr.latest_step() is None:
+                # refuse BEFORE the minutes-long full-model init
                 raise FileNotFoundError(
                     f"no checkpoint under {state_or_dir}/ckpt — refusing to "
                     "synthesize from random weights (train first, or pass a "
                     "reference .ckpt file)")
+            if self.variables is None:
+                self._init_acoustic()  # shape target for restore only
             from stylesinger_tpu.models.stylesinger import StyleSinger  # noqa
             # build a TrainState-shaped target from current variables
             from stylesinger_tpu.training.step import TrainState, \

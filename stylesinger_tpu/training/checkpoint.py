@@ -35,10 +35,6 @@ class CheckpointManager:
         self.keep = keep
         self.save_best = save_best
         self._best: Optional[float] = None
-        # existing best copy with unknown metric: adopt the FIRST
-        # post-resume val_loss as the baseline (keep the old copy until
-        # beaten) rather than disabling best-saving for the whole run
-        self._best_pending = False
         if _HAS_ORBAX:
             # NOTE: the periodic manager must NOT get a best_fn — orbax then
             # prunes to the best-K *by metric* and deletes the latest step,
@@ -65,13 +61,24 @@ class CheckpointManager:
                         self._best = self._read_best_sidecar()
                     if self._best is None:
                         # a best copy exists but its metric is unknowable —
-                        # don't overwrite it with a possibly-worse one, but
-                        # don't lock forever either: the next validation
-                        # becomes the working baseline
+                        # preserve the artifact out of the manager's reach
+                        # (a noisy first post-resume val must never cause
+                        # its deletion) and restart best-tracking fresh so
+                        # the sidecar always describes the stored copy
+                        legacy = self.best_dir + "_legacy"
+                        n = 1
+                        while os.path.exists(legacy):
+                            n += 1
+                            legacy = f"{self.best_dir}_legacy{n}"
                         print("| WARN: best checkpoint metric unreadable; "
-                              "adopting the next validation as the baseline"
-                              " (existing best copy kept until beaten)")
-                        self._best_pending = True
+                              f"preserving the copy at {legacy} and "
+                              "restarting best-tracking")
+                        self._best_mgr.close()
+                        os.rename(self.best_dir, legacy)
+                        self._best_mgr = ocp.CheckpointManager(
+                            self.best_dir,
+                            options=ocp.CheckpointManagerOptions(
+                                max_to_keep=1, create=True))
         else:
             self._mgr = None
             self._best_mgr = None
@@ -84,21 +91,14 @@ class CheckpointManager:
                        "opt_state": state.opt_state,
                        "step": np.asarray(step)}
             self._mgr.save(step, args=ocp.args.StandardSave(payload))
-            if self._best_mgr is not None and val_loss is not None:
-                if self._best_pending:
-                    # baseline for an unreadable-metric best copy: record it
-                    # in the sidecar only; the old copy survives until a
-                    # strictly better validation arrives
-                    self._best = float(val_loss)
-                    self._best_pending = False
-                    self._write_best_sidecar(step, self._best)
-                elif self._best is None or float(val_loss) < self._best:
-                    self._best = float(val_loss)
-                    self._best_mgr.save(
-                        step, args=ocp.args.StandardSave(payload),
-                        metrics={"val_loss": self._best})
-                    self._best_mgr.wait_until_finished()
-                    self._write_best_sidecar(step, self._best)
+            if self._best_mgr is not None and val_loss is not None and \
+                    (self._best is None or float(val_loss) < self._best):
+                self._best = float(val_loss)
+                self._best_mgr.save(
+                    step, args=ocp.args.StandardSave(payload),
+                    metrics={"val_loss": self._best})
+                self._best_mgr.wait_until_finished()
+                self._write_best_sidecar(step, self._best)
             self._mgr.wait_until_finished()
         else:  # pragma: no cover - fallback without orbax
             import pickle

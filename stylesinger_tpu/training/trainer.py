@@ -117,19 +117,23 @@ def _nonstrict_merge(target, loaded, path=""):
     return out, dropped
 
 
-def warm_start_params(params, load_path: str, cfg):
-    """Initialize ``params`` from another run's weights before training
+def warm_start_params(params, load_path: str, cfg, codebook=None):
+    """Initialize ``params`` (and, when given, the RQ-EMA ``codebook``
+    collection — the style quantizer must stay matched to the encoder it
+    was trained with) from another run's weights before training
     (reference ``load_ckpt`` hparam: egs_bases/config_base.yaml:27,
     applied strict=False at tasks/StyleSinger/stylesinger.py:36-37).
 
     ``load_path`` is either a reference torch ``.ckpt`` file (converted
-    via stylesinger_tpu.convert) or a work dir with an orbax ``ckpt/``."""
+    via stylesinger_tpu.convert) or a work dir with an orbax ``ckpt/``.
+    Returns ``merged_params`` or ``(merged_params, merged_codebook)``
+    depending on whether ``codebook`` was passed."""
     if load_path.endswith(".ckpt"):
         from stylesinger_tpu.convert import (
             convert_stylesinger, load_torch_checkpoint,
         )
-        loaded = convert_stylesinger(load_torch_checkpoint(load_path),
-                                     cfg)["params"]
+        loaded_all = convert_stylesinger(load_torch_checkpoint(load_path),
+                                         cfg)
     else:
         import orbax.checkpoint as ocp
         mgr = ocp.CheckpointManager(
@@ -139,16 +143,23 @@ def warm_start_params(params, load_path: str, cfg):
             raise FileNotFoundError(
                 f"load_ckpt: no checkpoint under {load_path}/ckpt")
         # restore without a target: raw arrays in the saved tree layout
-        loaded = mgr.restore(step)["params"]
-    merged, dropped = _nonstrict_merge(params, loaded)
-    n_total = len(jax.tree.leaves(loaded))
+        loaded_all = mgr.restore(step)
+    merged, dropped = _nonstrict_merge(params, loaded_all["params"])
+    n_total = len(jax.tree.leaves(loaded_all["params"]))
+    merged_cb = codebook
+    if codebook is not None and loaded_all.get("codebook"):
+        merged_cb, d_cb = _nonstrict_merge(codebook,
+                                           loaded_all["codebook"],
+                                           "codebook")
+        n_total += len(jax.tree.leaves(loaded_all["codebook"]))
+        dropped += d_cb
     print(f"| warm-start from {load_path}: {n_total - len(dropped)}/"
           f"{n_total} tensors loaded")
     for d in dropped[:20]:
         print(f"|   dropped {d}")
     if len(dropped) > 20:
         print(f"|   ... and {len(dropped) - 20} more")
-    return merged
+    return merged if codebook is None else (merged, merged_cb)
 
 
 class _BatchPrefetcher:
@@ -319,8 +330,9 @@ class Trainer:
             # warm-start (reference `load_ckpt` hparam, strict=False:
             # tasks/StyleSinger/stylesinger.py:36-37 + utils/ckpt_utils.py
             # :50-61 — shape-mismatched/unknown keys are dropped with a log)
-            state = state.replace(params=warm_start_params(
-                state.params, c["load_ckpt"], c))
+            wp, wcb = warm_start_params(state.params, c["load_ckpt"], c,
+                                        codebook=state.codebook)
+            state = state.replace(params=wp, codebook=wcb)
         step = start
 
         t0 = time.time()

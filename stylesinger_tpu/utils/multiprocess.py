@@ -61,9 +61,12 @@ def multiprocess_run(fn: Callable, args_list: List[tuple],
         return
     import multiprocessing as mp
     ctx = mp.get_context("spawn")
+    # the scrub must span the pool's LIFETIME, not just construction:
+    # Pool's maintenance thread respawns signal-killed workers mid-imap,
+    # and a replacement spawned after env restore would re-wedge under a
+    # dead tunnel (review finding)
     with host_only_children():
-        pool = ctx.Pool(num_workers)
-    with pool:
-        for i, res in enumerate(
-                pool.imap(_safe_call, [(fn, a) for a in args_list])):
-            yield i, res
+        with ctx.Pool(num_workers) as pool:
+            for i, res in enumerate(
+                    pool.imap(_safe_call, [(fn, a) for a in args_list])):
+                yield i, res

@@ -29,6 +29,45 @@ def get_vocoder_cls(cfg: Any) -> Type["BaseVocoder"]:
     return VOCODERS[cfg["vocoder"]]
 
 
+def load_vocoder_params(cfg: Any) -> Optional[Any]:
+    """Trained HiFi-GAN generator params from ``cfg['vocoder_ckpt']``:
+    a reference torch ``model_ckpt_steps_*.ckpt`` file, a reference work
+    dir holding such files (latest wins — base_vocoder.py:20-24), or an
+    orbax dir from our vocoder GAN task. None when unset/absent (callers
+    fall back to random init with their own warning)."""
+    ckpt = cfg.get("vocoder_ckpt", "")
+    if not ckpt:
+        return None
+    if not os.path.exists(ckpt):
+        print(f"| WARN: vocoder_ckpt {ckpt} not found; "
+              "using random vocoder weights")
+        return None
+    path = ckpt
+    if os.path.isdir(ckpt):
+        import glob
+        import re
+        torch_ckpts = glob.glob(os.path.join(ckpt, "model_ckpt_steps_*.ckpt"))
+        if torch_ckpts:
+            path = max(torch_ckpts, key=lambda p: int(
+                re.findall(r"steps_(\d+)", p)[0]))
+        else:
+            try:
+                import orbax.checkpoint as ocp
+                return ocp.StandardCheckpointer().restore(ckpt)["gen_params"]
+            except Exception:
+                print(f"| WARN: vocoder_ckpt dir {ckpt} has neither torch "
+                      "model_ckpt_steps_*.ckpt nor an orbax payload; "
+                      "using random vocoder weights")
+                return None
+    if path.endswith(".ckpt"):
+        from stylesinger_tpu.convert import (
+            convert_hifigan, load_torch_checkpoint,
+        )
+        sd = load_torch_checkpoint(path, child="model_gen")
+        return convert_hifigan(sd, cfg)["params"]
+    return None
+
+
 class BaseVocoder:
     def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
         """mel [T, M] -> wav [T * hop]."""
@@ -54,16 +93,11 @@ class HifiGAN_NSF(BaseVocoder):
                 {"params": p}, mel, f0, rngs={"noise": rng}))
 
     def _load_or_init(self):
-        import jax
         import jax.numpy as jnp
 
-        ckpt = self.cfg.get("vocoder_ckpt", "")
-        if ckpt and os.path.exists(ckpt):
-            try:
-                import orbax.checkpoint as ocp
-                return ocp.StandardCheckpointer().restore(ckpt)["gen_params"]
-            except Exception:
-                pass
+        params = load_vocoder_params(self.cfg)
+        if params is not None:
+            return params
         probe_mel = jnp.zeros((1, 16, self.cfg["audio_num_mel_bins"]))
         probe_f0 = jnp.full((1, 16), 200.0)
         return self.model.init({"params": self._rng, "noise": self._rng},

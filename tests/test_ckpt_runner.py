@@ -140,3 +140,43 @@ def test_best_baseline_survives_reopen(tmp_path, tiny_cfg, rng):
     assert mgr2.best_step() == 100
     mgr2.save(300, state, val_loss=0.3)
     assert mgr2.best_step() == 300
+
+
+def test_unreadable_best_metric_preserved_as_legacy(tmp_path, tiny_cfg,
+                                                    rng):
+    """Review r3: when an existing best copy's metric is unreadable, the
+    artifact is moved aside (ckpt_best_legacy) — a noisy first validation
+    must never cause its deletion — and best-tracking restarts fresh with
+    a sidecar that describes the stored copy."""
+    import json
+    import os
+
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _batch(cfg, rng)
+    batch.pop("nsamples")
+    state = init_state(model, cfg, batch)
+
+    mgr = CheckpointManager(str(tmp_path), keep=2, save_best=True)
+    mgr.save(100, state, val_loss=0.5)
+    # wipe both metric sources (simulates a pre-sidecar checkpoint)
+    os.remove(os.path.join(str(tmp_path), "ckpt_best", "best_val.json"))
+    import shutil
+    for root, dirs, files in os.walk(os.path.join(str(tmp_path),
+                                                  "ckpt_best")):
+        for f in files:
+            if "metrics" in f or f.endswith(".json"):
+                os.remove(os.path.join(root, f))
+
+    mgr2 = CheckpointManager(str(tmp_path), keep=2, save_best=True)
+    legacy = os.path.join(str(tmp_path), "ckpt_best_legacy")
+    assert os.path.isdir(legacy)            # old artifact preserved
+    assert mgr2.best_step() is None         # fresh tracking
+    mgr2.save(200, state, val_loss=2.0)     # noisy first val becomes best
+    assert mgr2.best_step() == 200
+    sidecar = os.path.join(str(tmp_path), "ckpt_best", "best_val.json")
+    assert json.load(open(sidecar)) == {"step": 200, "val_loss": 2.0}
+    mgr2.save(300, state, val_loss=1.5)
+    assert mgr2.best_step() == 300          # beaten normally
+    assert os.path.isdir(legacy)            # legacy never touched

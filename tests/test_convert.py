@@ -602,3 +602,45 @@ def test_ge2e_partial_slices_match_reference(hp):
             [(s.start, s.stop) for s in our_m], n
         assert [(s.start, s.stop) for s in ref_w] == \
             [(s.start, s.stop) for s in our_w], n
+
+
+def test_load_vocoder_params_from_torch_ckpt(hp, rng, tmp_path):
+    """Review r3: StyleSingerInfer._init_vocoder / the vocoder registry
+    load trained weights from cfg vocoder_ckpt — a reference-layout torch
+    checkpoint file AND a work dir holding model_ckpt_steps_*.ckpt
+    (latest wins), converted through convert_hifigan."""
+    from modules.hifigan.hifigan_nsf import HifiGanGenerator as RefGen
+
+    from stylesinger_tpu.vocoder_infer import load_vocoder_params
+
+    h = dict(TINY_HPARAMS)
+    h.update(use_pitch_embed=False, audio_sample_rate=24000,
+             upsample_rates=[4, 4], upsample_kernel_sizes=[8, 8],
+             upsample_initial_channel=16, resblock="1",
+             resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3, 5]])
+    ref = RefGen(h).eval()
+    ref.remove_weight_norm()
+    ckpt = {"state_dict": {"model_gen": ref.state_dict()}}
+    fn = str(tmp_path / "model_ckpt_steps_1000.ckpt")
+    torch.save(ckpt, fn)
+
+    cfg = dict(h)
+    cfg["use_nsf"] = False
+    cfg["vocoder_ckpt"] = fn
+    params = load_vocoder_params(cfg)
+    want = cv.convert_hifigan(ref.state_dict(), cfg)["params"]
+    got_leaves = jax.tree.leaves(params)
+    want_leaves = jax.tree.leaves(want)
+    assert len(got_leaves) == len(want_leaves) > 0
+    assert all(np.allclose(g, w) for g, w in zip(got_leaves, want_leaves))
+
+    # work-dir form: the LATEST steps file is chosen
+    torch.save(ckpt, str(tmp_path / "model_ckpt_steps_2000.ckpt"))
+    cfg["vocoder_ckpt"] = str(tmp_path)
+    params2 = load_vocoder_params(cfg)
+    assert params2 is not None
+    # unset / missing path -> None (caller random-inits)
+    cfg["vocoder_ckpt"] = ""
+    assert load_vocoder_params(cfg) is None
+    cfg["vocoder_ckpt"] = str(tmp_path / "nope.ckpt")
+    assert load_vocoder_params(cfg) is None

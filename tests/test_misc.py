@@ -241,3 +241,16 @@ def test_host_only_children_env_contract():
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         if prev_platforms is not None:
             os.environ["JAX_PLATFORMS"] = prev_platforms
+
+
+def test_emotion_adapter_no_trailing_newline(tmp_path):
+    """Review r3: the ESD slicing must survive a final line without \\n."""
+    from stylesinger_tpu.data.preprocess import load_meta_data
+
+    emo = tmp_path / "emo2"
+    (emo / "0011" / "Happy").mkdir(parents=True)
+    (emo / "0011" / "0011.txt").write_text(
+        "0011_000001\tThe text here\tHappy")  # no trailing newline
+    rows = load_meta_data("emotion", str(emo))
+    assert rows[0]["emotion"] == "Happy"
+    assert rows[0]["txt"] == "The text here"

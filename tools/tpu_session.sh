@@ -23,8 +23,19 @@ timeout 300 python -c "import jax; print(jax.devices())" || {
   echo "TPU backend unavailable; aborting"; exit 75; }
 
 echo "== 1. train to ${STEPS} (resumes from any existing checkpoint)"
-python tools/validate_training.py --dir "$DIR" --steps "$STEPS" \
-  --overrides "$OV"
+# restart-and-resume through the tunnel's host-RSS leak: the auto-armed
+# watchdog checkpoints and exits 75 (EX_TEMPFAIL) before the kernel OOM
+# killer can corrupt a save; the loop is this script's --supervise
+for attempt in $(seq 1 200); do
+  rc=0
+  python tools/validate_training.py --dir "$DIR" --steps "$STEPS" \
+    --overrides "$OV" || rc=$?
+  if [ "$rc" -eq 0 ]; then break; fi
+  if [ "$rc" -ne 75 ]; then
+    echo "training failed with rc=$rc"; exit "$rc"
+  fi
+  echo "== watchdog checkpoint (restart $attempt); resuming"
+done
 
 echo "== 2. diffusion vs coarse decoder (mel domain)"
 python tools/compare_diff_coarse.py --dir "$DIR" --steps "$STEPS"
