@@ -266,6 +266,12 @@ DEFAULTS: Dict[str, Any] = dict(
     # --- data / work dirs ---
     binary_data_dir="data/binary/style",
     processed_data_dir="data/processed/style",
+    # raw-corpus preprocessing (reference data_gen/tts/bin/preprocess.py +
+    # egs/datasets/audio/*/pre_align.py): a registered meta adapter reads
+    # raw_data_dir into rows, then Preprocessor normalizes/g2ps them
+    raw_data_dir="",
+    pre_align_cls="",           # meta-adapter name ("lj"/"emotion"/...)
+    language="zh",              # txt-processor selection for g2p
     work_dir="",
     train_set_name="train",
     valid_set_name="valid",

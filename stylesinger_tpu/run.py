@@ -1,11 +1,13 @@
-"""Unified CLI: binarize / train / infer.
+"""Unified CLI: preprocess / binarize / train / infer / test.
 
 Parity targets: ``tasks/run.py`` (task launcher), ``data_gen/tts/bin/
-binarize.py`` (binarize CLI), and ``inference/StyleSinger.py`` __main__
-(demo synthesis) in AaronZ345/StyleSinger — collapsed into one entry point:
+{binarize,preprocess,train_mfa_align}.py`` (data CLIs), and
+``inference/StyleSinger.py`` __main__ (demo synthesis) in
+AaronZ345/StyleSinger — collapsed into one entry point:
 
-  python -m stylesinger_tpu.run train    --config egs/stylesinger.yaml --exp_name EXP
+  python -m stylesinger_tpu.run preprocess --config egs/stylesinger.yaml [--mfa]
   python -m stylesinger_tpu.run binarize --config egs/stylesinger.yaml
+  python -m stylesinger_tpu.run train    --config egs/stylesinger.yaml --exp_name EXP
   python -m stylesinger_tpu.run infer    --config egs/stylesinger.yaml --exp_name EXP
 """
 
@@ -43,7 +45,7 @@ def supervise(cmd: list, max_restarts: int = 100) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser("stylesinger_tpu")
     ap.add_argument("command", choices=["train", "binarize", "infer",
-                                        "test"])
+                                        "test", "preprocess"])
     ap.add_argument("--config", default=None)
     ap.add_argument("--exp_name", default="stylesinger")
     ap.add_argument("--hparams", default="",
@@ -57,6 +59,9 @@ def main() -> None:
     ap.add_argument("--allow_random", action="store_true",
                     help="infer only: permit demo synthesis from random "
                     "weights when the work dir has no checkpoint")
+    ap.add_argument("--mfa", action="store_true",
+                    help="preprocess only: also lay out the MFA alignment "
+                    "corpus (reference train_mfa_align.py)")
     args = ap.parse_args()
 
     if args.supervise and args.command == "train":
@@ -69,6 +74,37 @@ def main() -> None:
     cfg = load_config(args.config, args.hparams)
     work_dir = os.path.join(args.work_dir_root, args.exp_name)
     cfg["work_dir"] = work_dir
+
+    if args.command == "preprocess":
+        # reference preprocess CLI (data_gen/tts/bin/preprocess.py:9-16 +
+        # train_mfa_align.py): raw corpus -> processed metadata.json /
+        # phone_set.json, plus an MFA input layout when --mfa is given.
+        # Raw rows come from a registered meta adapter (cfg pre_align_cls,
+        # the analogue of egs/datasets/audio/*/pre_align.py) or from an
+        # existing <raw_data_dir>/metadata.json.
+        import json
+
+        from stylesinger_tpu.data.preprocess import (Preprocessor,
+                                                     load_meta_data)
+
+        raw_dir = cfg.get("raw_data_dir") or cfg["processed_data_dir"]
+        adapter = cfg.get("pre_align_cls", "")
+        if adapter:
+            items = load_meta_data(adapter, raw_dir)
+        else:
+            meta_fn = os.path.join(raw_dir, "metadata.json")
+            if not os.path.exists(meta_fn):
+                raise SystemExit(
+                    f"| ERROR: no meta adapter (cfg pre_align_cls) and no "
+                    f"{meta_fn}; nothing to preprocess")
+            items = json.load(open(meta_fn))
+        pre = Preprocessor(cfg, language=cfg.get("language", "zh"))
+        rows = pre.process(items, out_dir=cfg["processed_data_dir"])
+        if args.mfa:
+            mfa_dir = pre.build_mfa_inputs(
+                rows, out_dir=cfg["processed_data_dir"])
+            print(f"| wrote MFA corpus at {mfa_dir}")
+        return
 
     if args.command == "binarize":
         import importlib

@@ -254,3 +254,45 @@ def test_emotion_adapter_no_trailing_newline(tmp_path):
     rows = load_meta_data("emotion", str(emo))
     assert rows[0]["emotion"] == "Happy"
     assert rows[0]["txt"] == "The text here"
+
+
+def test_preprocess_cli(tmp_path, monkeypatch):
+    """run.py preprocess: LJ adapter -> metadata.json + phone_set.json +
+    (--mfa) the MFA corpus layout (reference data_gen/tts/bin/preprocess.py
+    + train_mfa_align.py)."""
+    import json
+    import sys
+    import wave
+
+    import numpy as np
+
+    from stylesinger_tpu import run as cli
+
+    raw = tmp_path / "raw"
+    (raw / "wavs").mkdir(parents=True)
+    with open(raw / "metadata.csv", "w") as f:
+        f.write("item1|raw|hello world\nitem2|raw|singing test\n")
+    for name in ("item1", "item2"):
+        with wave.open(str(raw / "wavs" / f"{name}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(24000)
+            w.writeframes(np.zeros(2400, np.int16).tobytes())
+
+    out = tmp_path / "processed"
+    overrides = ",".join([
+        f"raw_data_dir={raw}", "pre_align_cls=lj", "language=en",
+        f"processed_data_dir={out}",
+    ])
+    monkeypatch.setattr(sys, "argv", [
+        "run", "preprocess", "--hparams", overrides, "--mfa"])
+    cli.main()
+
+    rows = json.load(open(out / "metadata.json"))
+    assert len(rows) == 2 and rows[0]["ph"]
+    phones = json.load(open(out / "phone_set.json"))
+    assert set(rows[0]["ph"]) <= set(phones)
+    # MFA layout: one group dir per speaker with .lab/.wav pairs + dict
+    assert (out / "mfa_inputs" / "SPK1" / "item1.lab").exists()
+    assert (out / "mfa_inputs" / "SPK1" / "item1.wav").exists()
+    assert (out / "mfa_dict.txt").exists()
