@@ -20,7 +20,7 @@ import numpy as np
 
 from stylesinger_tpu.dsp.mel import load_wav, wav2spec_np
 from stylesinger_tpu.dsp.pitch import extract_pitch
-from stylesinger_tpu.eval.metrics import ffe, mcd
+from stylesinger_tpu.eval.metrics import ffe, mcd, speaker_cosine
 
 
 def evaluate_pair(wav_fn: str, gt_fn: str, sr: int,
@@ -43,7 +43,19 @@ def evaluate_pair(wav_fn: str, gt_fn: str, sr: int,
 
 
 def evaluate_dir(gen_dir: str, sr: int = 48000,
-                 cfg: Optional[Any] = None) -> Dict[str, float]:
+                 cfg: Optional[Any] = None,
+                 spk_encoder_path: Optional[str] = None
+                 ) -> Dict[str, float]:
+    """Per-pair MCD + FFE; when ``spk_encoder_path`` (a GE2E/resemblyzer
+    torch checkpoint, see ``convert.load_ge2e_checkpoint``) is given, also
+    the paper's objective Cosine: d-vector similarity of each synthesized
+    wav to its ground-truth reference."""
+    spk_vars = spk_enc = None
+    if spk_encoder_path:
+        from stylesinger_tpu.convert import load_ge2e_checkpoint
+        from stylesinger_tpu.models.encoders import UtteranceEncoder
+        spk_enc = UtteranceEncoder()
+        spk_vars = load_ge2e_checkpoint(spk_encoder_path)
     wav_dir = os.path.join(gen_dir, "wavs")
     rows: List[Dict] = []
     for fn in sorted(os.listdir(wav_dir)):
@@ -55,6 +67,10 @@ def evaluate_dir(gen_dir: str, sr: int = 48000,
         if not os.path.exists(gt):
             continue
         m = evaluate_pair(os.path.join(wav_dir, fn), gt, sr, cfg)
+        if spk_vars is not None:
+            m["spk_cos"] = speaker_cosine(
+                load_wav(os.path.join(wav_dir, fn), sr), load_wav(gt, sr),
+                sr, spk_vars, spk_enc)
         m["item"] = fn
         rows.append(m)
     if not rows:
@@ -64,6 +80,9 @@ def evaluate_dir(gen_dir: str, sr: int = 48000,
         "mcd_mean": float(np.nanmean([r["mcd"] for r in rows])),
         "ffe_mean": float(np.nanmean([r["ffe"] for r in rows])),
     }
+    if spk_vars is not None:
+        out["spk_cos_mean"] = float(
+            np.nanmean([r["spk_cos"] for r in rows]))
     with open(os.path.join(gen_dir, "metrics.json"), "w") as f:
         json.dump({"summary": out, "items": rows}, f, indent=2)
     return out
@@ -75,5 +94,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("gen_dir")
     ap.add_argument("--sr", type=int, default=48000)
+    ap.add_argument("--spk_encoder", default=None,
+                    help="GE2E/resemblyzer torch checkpoint; adds the "
+                    "paper's objective Cosine (d-vector similarity)")
     a = ap.parse_args()
-    print(json.dumps(evaluate_dir(a.gen_dir, a.sr)))
+    print(json.dumps(evaluate_dir(a.gen_dir, a.sr,
+                                  spk_encoder_path=a.spk_encoder)))

@@ -50,6 +50,35 @@ def ffe(f0_ref: np.ndarray, f0_pred: np.ndarray,
     return float((voicing_err | pitch_err).mean()) if n else float("nan")
 
 
+def cosine(a: np.ndarray, b: np.ndarray) -> float:
+    """Cosine similarity of two embedding vectors (the paper's objective
+    "Cosine" timbre-similarity metric, computed between d-vectors of the
+    synthesized and the reference audio — the reference extracts those
+    d-vectors with the resemblyzer VoiceEncoder,
+    ``inference/StyleSinger.py:100-106`` / ``data_gen/style_binarizer.py``)."""
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    denom = max(float(np.linalg.norm(a) * np.linalg.norm(b)), 1e-12)
+    return float(np.dot(a, b) / denom)
+
+
+def speaker_cosine(wav_a: np.ndarray, wav_b: np.ndarray, sr: int,
+                   variables, encoder=None) -> float:
+    """d-vector cosine between two waveforms: resample to the GE2E 16 kHz
+    front-end, embed each with the (pretrained) speaker encoder, cosine.
+
+    ``variables``: flax variables of ``models.encoders.UtteranceEncoder``
+    (load real weights via ``convert.load_ge2e_checkpoint`` — random
+    weights make the number meaningless)."""
+    from stylesinger_tpu.models.encoders import (UtteranceEncoder,
+                                                 preprocess_wav)
+
+    enc = encoder or UtteranceEncoder()
+    ea = enc.embed_utterance(variables, preprocess_wav(wav_a, sr))
+    eb = enc.embed_utterance(variables, preprocess_wav(wav_b, sr))
+    return cosine(ea, eb)
+
+
 def mcd(mel_ref: np.ndarray, mel_pred: np.ndarray) -> float:
     """Mel-cepstral distortion (dB) over aligned log-mel frames (a common
     proxy computed directly on log10-mel features)."""

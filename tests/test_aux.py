@@ -410,3 +410,29 @@ def test_evaluate_gen_dir(tmp_path, rng):
     assert out["mcd_mean"] > 0
     assert 0 <= out["ffe_mean"] <= 1
     assert os.path.exists(tmp_path / "metrics.json")
+
+
+def test_cosine_and_speaker_cosine(rng):
+    import jax
+
+    from stylesinger_tpu.eval.metrics import cosine, speaker_cosine
+    from stylesinger_tpu.models.encoders import UtteranceEncoder
+
+    v = rng.standard_normal(64)
+    assert abs(cosine(v, v) - 1.0) < 1e-9
+    assert abs(cosine(v, -v) + 1.0) < 1e-9
+    assert abs(cosine(v, 3.0 * v) - 1.0) < 1e-9
+
+    # d-vector cosine: identical waveforms embed identically (cos = 1)
+    # regardless of encoder weights; a different waveform moves the score.
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    wav_a = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav_b = rng.standard_normal(2 * sr).astype(np.float32) * 0.1
+    enc = UtteranceEncoder(hidden_size=32, embed_size=32, num_layers=1)
+    variables = enc.init({"params": jax.random.PRNGKey(0)},
+                         np.zeros((1, 160, 40), np.float32))
+    same = speaker_cosine(wav_a, wav_a, sr, variables, enc)
+    diff = speaker_cosine(wav_a, wav_b, sr, variables, enc)
+    assert abs(same - 1.0) < 1e-5
+    assert -1.0 <= diff <= 1.0 and diff < same
