@@ -285,6 +285,12 @@ DEFAULTS: Dict[str, Any] = dict(
         with_wav=True, shuffle=False, trim_eos_bos=False, trim_sil=False,
     ),
     pitch_extractor="autocorr",
+    # offline binarization backend: "cpu" (default) pins the phase to the
+    # host CPU JAX backend — per-item F0 tracking / GE2E embeds are tiny
+    # dispatches that are pathological through a remote-PJRT TPU tunnel
+    # (measured: ~1 item/s on host vs 0 items in 15 min tunneled);
+    # any other value keeps the process's default platform
+    binarize_platform="cpu",
     # --- parallelism (TPU-native; no analogue in the reference) ---
     mesh_shape=dict(data=-1),   # -1: all devices on the data axis
     param_dtype="float32",

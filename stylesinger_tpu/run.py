@@ -108,6 +108,15 @@ def main() -> None:
 
     if args.command == "binarize":
         import importlib
+
+        # Offline binarization is host work: per-item F0 tracking and
+        # GE2E embedding dispatch thousands of tiny ops, which is
+        # pathological through a remote-PJRT TPU tunnel (measured: 0
+        # items in 15 min tunneled vs ~1 item/s on host CPU). Run the
+        # whole phase on the CPU backend unless the recipe opts out.
+        if cfg.get("binarize_platform", "cpu") == "cpu":
+            import jax
+            jax.config.update("jax_platforms", "cpu")
         cls_path = cfg.get("binarizer_cls",
                            "stylesinger_tpu.data.binarize."
                            "StyleSingingBinarizer")

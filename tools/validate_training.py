@@ -183,13 +183,29 @@ def main():
     cfg = build_cfg(raw_dir, bin_dir, work_dir, args.steps, tiny=args.tiny,
                     overrides=args.overrides)
 
-    if not os.path.exists(os.path.join(raw_dir, "metadata.json")):
-        from tools.make_synthetic_corpus import make_corpus
-        make_corpus(raw_dir, args.utts)
-        print(f"| corpus: {args.utts} utts -> {raw_dir}")
-    if not os.path.exists(os.path.join(bin_dir, "train.data")):
-        from stylesinger_tpu.data.binarize import StyleSingingBinarizer
-        StyleSingingBinarizer(cfg).process()
+    if not (os.path.exists(os.path.join(raw_dir, "metadata.json"))
+            and os.path.exists(os.path.join(bin_dir, "train.data"))):
+        if args.tiny:
+            # already on CPU; run inline
+            from stylesinger_tpu.data.binarize import StyleSingingBinarizer
+            from tools.make_synthetic_corpus import make_corpus
+            if not os.path.exists(os.path.join(raw_dir, "metadata.json")):
+                make_corpus(raw_dir, args.utts)
+                print(f"| corpus: {args.utts} utts -> {raw_dir}")
+            StyleSingingBinarizer(cfg).process()
+        else:
+            # data phase in a CPU-pinned child: JAX fixes the platform per
+            # process, and per-item binarize dispatches are pathological
+            # through a remote TPU tunnel (tools/binarize_corpus.py)
+            import subprocess
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "binarize_corpus.py"),
+                 "--dir", args.dir, "--utts", str(args.utts),
+                 "--steps", str(args.steps), "--overrides", args.overrides])
+            if r.returncode != 0:
+                raise SystemExit(r.returncode)
         print(f"| binarized -> {bin_dir}")
 
     from stylesinger_tpu.data import BucketBatcher, StyleSingerDataset
