@@ -28,6 +28,9 @@ for attempt in $(seq 1 200); do
   fi
   echo "== watchdog checkpoint (restart $attempt); resuming"
 done
+if [ "$rc" -ne 0 ]; then
+  echo "training never completed after 200 restarts"; exit "$rc"
+fi
 
 echo "== 2. diffusion vs coarse decoder (mel domain)"
 python tools/compare_diff_coarse.py --dir "$DIR" --steps "$STEPS" || true
