@@ -20,6 +20,7 @@ reference torch modules (tests/test_convert.py).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
@@ -60,13 +61,16 @@ def conv1d_wn(sd: Mapping, name: str) -> Dict:
 
 
 def convT1d_wn(sd: Mapping, name: str) -> Dict:
-    """Weight-normed ConvTranspose1d [in, out, k] -> [k, out, in]."""
+    """Weight-normed ConvTranspose1d [in, out, k] -> [k, out, in].
+
+    torch weight_norm(dim=0) keeps the FIRST dim (= in channels for a
+    transposed conv): g is [in, 1, 1], the norm runs over (out, k)."""
     if f"{name}.weight" in sd:
         w = _np(sd[f"{name}.weight"])
     else:
         g = _np(sd[f"{name}.weight_g"])
         v = _np(sd[f"{name}.weight_v"])
-        norm = np.sqrt((v ** 2).sum(axis=(0, 2), keepdims=True))
+        norm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
         w = g * v / np.maximum(norm, 1e-12)
     out = {"kernel": w.transpose(2, 1, 0)}
     if f"{name}.bias" in sd:
@@ -431,6 +435,146 @@ def load_ge2e_checkpoint(path: str) -> Dict:
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return convert_ge2e_encoder(sd)
+
+
+def conv2d_time_wn(sd: Mapping, name: str) -> np.ndarray:
+    """PWG upsample smoothing Conv2d(1, 1, (1, K)) -> time kernel [K, 1, 1]
+    (weight-normed or folded)."""
+    if f"{name}.weight" in sd:
+        w = _np(sd[f"{name}.weight"])
+    else:
+        g = _np(sd[f"{name}.weight_g"])
+        v = _np(sd[f"{name}.weight_v"])
+        norm = np.sqrt((v ** 2).sum(axis=(1, 2, 3), keepdims=True))
+        w = g * v / np.maximum(norm, 1e-12)
+    return w[0, 0, 0][:, None, None]
+
+
+def convert_pwg(sd: Mapping, layers: int = 30, n_scales: int = 4) -> Dict:
+    """Reference ``ParallelWaveGANGenerator`` state_dict (weight-normed or
+    ``remove_weight_norm``-folded; models/parallel_wavegan.py:22-171) ->
+    flax params for models.legacy_vocoders.ParallelWaveGANGenerator."""
+    up: Dict[str, Any] = {"conv_in": conv1d_wn(sd, "upsample_net.conv_in")}
+    for i in range(n_scales):
+        # up_layers interleaves [Stretch2d, Conv2d] pairs — conv at 2i+1
+        up[f"up_conv_{i}"] = conv2d_time_wn(
+            sd, f"upsample_net.upsample.up_layers.{2 * i + 1}")
+    params: Dict[str, Any] = {
+        "upsample_net": up,
+        "first": conv1d_wn(sd, "first_conv"),
+        "post1": conv1d_wn(sd, "last_conv_layers.1"),
+        "post2": conv1d_wn(sd, "last_conv_layers.3"),
+    }
+    if "pitch_embed.weight" in sd:
+        params["pitch_embed"] = emb(sd, "pitch_embed")
+        params["c_proj"] = lin(sd, "c_proj")
+    for i in range(layers):
+        p = f"conv_layers.{i}"
+        params[f"block_{i}"] = {
+            "conv": conv1d_wn(sd, f"{p}.conv"),
+            "aux": conv1d_wn(sd, f"{p}.conv1x1_aux"),
+            "res": conv1d_wn(sd, f"{p}.conv1x1_out"),
+            "skip": conv1d_wn(sd, f"{p}.conv1x1_skip"),
+        }
+    return {"params": params}
+
+
+def convert_melgan(sd: Mapping, n_scales: int = 4,
+                   stacks: int = 3) -> Dict:
+    """Reference ``MelGANGenerator`` state_dict (models/melgan.py:18-160,
+    non-causal ``torch.nn.Sequential`` layout) -> flax params for
+    models.legacy_vocoders.MelGANGenerator.
+
+    Sequential indices: [pad, conv_pre] then per scale [leaky, convT,
+    stack x3] then [leaky, pad, conv_post, tanh]."""
+    params: Dict[str, Any] = {"conv_pre": conv1d_wn(sd, "melgan.1")}
+    idx = 2
+    for i in range(n_scales):
+        params[f"up_{i}"] = convT1d_wn(sd, f"melgan.{idx + 1}")
+        for j in range(stacks):
+            p = f"melgan.{idx + 2 + j}"
+            params[f"res_{i}_{j}"] = {
+                # stack Sequential: [leaky, pad, conv k, leaky, conv 1x1]
+                "conv1": conv1d_wn(sd, f"{p}.stack.2"),
+                "conv2": conv1d_wn(sd, f"{p}.stack.4"),
+                "skip": conv1d_wn(sd, f"{p}.skip_layer"),
+            }
+        idx += 2 + stacks
+    params["conv_post"] = conv1d_wn(sd, f"melgan.{idx + 2}")
+    return {"params": params}
+
+
+def load_pwg_checkpoint(ckpt_path: str, stats_path: Optional[str] = None,
+                        config_path: Optional[str] = None):
+    """The reference's ``load_pwg_model`` (vocoders/pwg.py:16-52) for the
+    flax generator: loads either an OFFICIAL ParallelWaveGAN checkpoint
+    (``{"model": {"generator": sd}}`` + hdf5/npy feature stats used to
+    mean/std-normalize input mels) or a CUSTOM task checkpoint
+    (``{"state_dict": {"model_gen.*": ...}}``, no stats).
+
+    Returns (variables, stats, gen_params) where stats is None or a
+    ``{"mean": [M], "scale": [M]}`` dict and gen_params the generator
+    hyperparameters read from config.yaml (empty dict when absent)."""
+    import torch
+
+    gen_params: Dict[str, Any] = {}
+    if config_path and os.path.exists(config_path):
+        import yaml
+        with open(config_path) as f:
+            gen_params = (yaml.safe_load(f) or {}).get(
+                "generator_params", {})
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    stats = None
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:  # custom ckpt
+        sd = {k[len("model_gen."):]: v
+              for k, v in ckpt["state_dict"].items()
+              if k.startswith("model_gen.")}
+    else:  # official vocoder ckpt + feature stats
+        sd = ckpt["model"]["generator"]
+        if stats_path and os.path.exists(stats_path):
+            stats = _load_feature_stats(stats_path)
+    layers = int(gen_params.get("layers", 30))
+    n_scales = len(gen_params.get("upsample_params", {}).get(
+        "upsample_scales", [4, 4, 4, 4]))
+    return convert_pwg(sd, layers=layers, n_scales=n_scales), stats, \
+        gen_params
+
+
+def load_melgan_checkpoint(ckpt_path: str,
+                           stats_path: Optional[str] = None):
+    """MelGAN analogue of load_pwg_checkpoint: official
+    ``{"model": {"generator": sd}}`` or custom ``model_gen.*`` layout,
+    optional hdf5/npy feature stats."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    stats = None
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = {k[len("model_gen."):]: v
+              for k, v in ckpt["state_dict"].items()
+              if k.startswith("model_gen.")}
+    else:
+        sd = ckpt["model"]["generator"]
+        if stats_path and os.path.exists(stats_path):
+            stats = _load_feature_stats(stats_path)
+    # infer scale count from the Sequential layout: conv_pre at 1, then
+    # 5 entries per scale (leaky, convT, 3 stacks), conv_post at 5n+4
+    top = max(int(k.split(".")[1]) for k in sd if k.startswith("melgan."))
+    n_scales = (top - 4) // 5
+    return convert_melgan(sd, n_scales=n_scales), stats
+
+
+def _load_feature_stats(stats_path: str) -> Dict[str, np.ndarray]:
+    """Official ParallelWaveGAN mel feature stats: hdf5 ("mean"/"scale"
+    datasets) or npy ([mean, scale]) — vocoders/pwg.py:31-38."""
+    if stats_path.endswith(".npy"):
+        arr = np.load(stats_path)
+        return {"mean": np.asarray(arr[0], np.float32),
+                "scale": np.asarray(arr[1], np.float32)}
+    import h5py
+    with h5py.File(stats_path, "r") as f:
+        return {"mean": np.asarray(f["mean"], np.float32),
+                "scale": np.asarray(f["scale"], np.float32)}
 
 
 def load_torch_checkpoint(path: str, child: Optional[str] = "model"):

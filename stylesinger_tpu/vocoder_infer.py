@@ -183,39 +183,134 @@ class GriffinLim(BaseVocoder):
             win_length=c["win_size"]))
 
 
+def _find_legacy_ckpt(base: str) -> tuple:
+    """Resolve cfg['vocoder_ckpt'] for the legacy PWG/MelGAN wrappers the
+    way the reference does (vocoders/pwg.py:55-80): a directory holding
+    either OFFICIAL ``checkpoint-*steps.pkl`` (+ config.yaml + stats.h5)
+    or CUSTOM ``model_ckpt_steps_*.ckpt`` (latest wins), or a direct file
+    path. Returns (ckpt_path|None, stats_path|None, config_path|None)."""
+    import glob
+    import re
+
+    if not base:
+        return None, None, None
+    if os.path.isfile(base):
+        d = os.path.dirname(base)
+        stats = next((p for p in (os.path.join(d, "stats.h5"),
+                                  os.path.join(d, "stats.npy"))
+                      if os.path.exists(p)), None)
+        cfgp = os.path.join(d, "config.yaml")
+        return base, stats, cfgp if os.path.exists(cfgp) else None
+    if not os.path.isdir(base):
+        return None, None, None
+    official = glob.glob(os.path.join(base, "checkpoint-*steps.pkl"))
+    custom = glob.glob(os.path.join(base, "model_ckpt_steps_*.ckpt"))
+    if official:
+        ckpt = max(official, key=lambda p: int(
+            re.findall(r"checkpoint-(\d+)steps", p)[0]))
+    elif custom:
+        ckpt = max(custom, key=lambda p: int(
+            re.findall(r"steps_(\d+)", p)[0]))
+    else:
+        return None, None, None
+    stats = next((p for p in (os.path.join(base, "stats.h5"),
+                              os.path.join(base, "stats.npy"))
+                  if os.path.exists(p)), None)
+    cfgp = os.path.join(base, "config.yaml")
+    return ckpt, stats, cfgp if os.path.exists(cfgp) else None
+
+
 @register_vocoder
 class PWG(BaseVocoder):
-    """Parallel WaveGAN (legacy alternate; reference vocoders/pwg.py)."""
+    """Parallel WaveGAN (reference vocoders/pwg.py:54-107): loads a
+    trained official/custom checkpoint from ``cfg['vocoder_ckpt']`` via
+    convert.load_pwg_checkpoint, mean/std-normalizes the input mel with
+    the official feature stats when present, and feeds coarse f0 to the
+    pitch embedding when the generator was trained with one."""
 
     def __init__(self, cfg: Any, params: Optional[Any] = None):
         import jax
         import jax.numpy as jnp
 
         from stylesinger_tpu.models.legacy_vocoders import (
-            ParallelWaveGANGenerator,
+            ParallelWaveGANGenerator, pwg_upsample_scales,
         )
 
         self.cfg = cfg
-        self.model = ParallelWaveGANGenerator(cfg)
+        self.stats = None
+        gen_kw: Dict[str, Any] = {}
+        if params is None:
+            ckpt, stats_p, cfg_p = _find_legacy_ckpt(
+                cfg.get("vocoder_ckpt", ""))
+            if ckpt is not None:
+                from stylesinger_tpu.convert import load_pwg_checkpoint
+                variables, self.stats, gp = load_pwg_checkpoint(
+                    ckpt, stats_path=stats_p, config_path=cfg_p)
+                params = variables["params"]
+                gen_kw = {
+                    "layers": int(gp.get("layers", 30)),
+                    "stacks": int(gp.get("stacks", 3)),
+                    "residual_channels": int(gp.get(
+                        "residual_channels", 64)),
+                    "gate_channels": int(gp.get("gate_channels", 128)),
+                    "skip_channels": int(gp.get("skip_channels", 64)),
+                    "aux_context_window": int(gp.get(
+                        "upsample_params", {}).get(
+                        "aux_context_window",
+                        gp.get("aux_context_window", 2))),
+                    "use_pitch_embed": bool(gp.get(
+                        "use_pitch_embed", False)),
+                }
+                scales = gp.get("upsample_params", {}).get(
+                    "upsample_scales")
+                if scales:
+                    cfg = dict(cfg)
+                    cfg["pwg_upsample_scales"] = list(scales)
+                    self.cfg = cfg
+                print(f"| Loaded PWG vocoder from {ckpt}"
+                      + (" (+feature stats)" if self.stats else ""))
+            elif cfg.get("vocoder_ckpt", ""):
+                print(f"| WARN: vocoder_ckpt {cfg['vocoder_ckpt']} has no "
+                      "PWG checkpoint; using random weights")
+        self.model = ParallelWaveGANGenerator(self.cfg, **gen_kw)
         self._rng = jax.random.PRNGKey(0)
+        self._hop = int(np.prod(pwg_upsample_scales(self.cfg)))
         if params is None:
             probe = jnp.zeros((1, 8, cfg["audio_num_mel_bins"]))
+            pitch = (jnp.zeros((1, 8), jnp.int32)
+                     if gen_kw.get("use_pitch_embed") else None)
             params = self.model.init(
-                {"params": self._rng, "noise": self._rng}, probe)["params"]
+                {"params": self._rng, "noise": self._rng}, probe,
+                pitch=pitch)["params"]
         self.params = params
-        self._jit = jax.jit(lambda p, mel, rng: self.model.apply(
-            {"params": p}, mel, rngs={"noise": rng}))
+        self._jit = jax.jit(lambda p, mel, pitch, rng: self.model.apply(
+            {"params": p}, mel, pitch=pitch, rngs={"noise": rng}))
 
     def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
         import jax.numpy as jnp
-        return np.asarray(self._jit(self.params, jnp.asarray(mel)[None],
-                                    self._rng))[0]
+
+        c = np.asarray(mel, np.float32)
+        if self.stats is not None:  # official-ckpt normalization
+            c = (c - self.stats["mean"]) / self.stats["scale"]
+        pitch = None
+        if self.model.use_pitch_embed:
+            from stylesinger_tpu.dsp.pitch import f0_to_coarse
+            f0 = kwargs.get("f0")
+            if f0 is None:
+                f0 = np.zeros(c.shape[0], np.float32)
+            pitch = np.asarray(
+                f0_to_coarse(jnp.asarray(f0[: c.shape[0]])))[None]
+        return np.asarray(self._jit(
+            self.params, jnp.asarray(c)[None],
+            None if pitch is None else jnp.asarray(pitch),
+            self._rng))[0]
 
 
 @register_vocoder
 class MelGAN(BaseVocoder):
-    """MelGAN (legacy alternate; reference modules/parallel_wavegan/
-    models/melgan.py)."""
+    """MelGAN (reference modules/parallel_wavegan/models/melgan.py:18-160,
+    wrapper semantics of vocoders/pwg.py): trained official/custom
+    checkpoint loading + official feature-stats mel normalization."""
 
     def __init__(self, cfg: Any, params: Optional[Any] = None):
         import jax
@@ -224,6 +319,20 @@ class MelGAN(BaseVocoder):
         from stylesinger_tpu.models.legacy_vocoders import MelGANGenerator
 
         self.cfg = cfg
+        self.stats = None
+        if params is None:
+            ckpt, stats_p, _ = _find_legacy_ckpt(
+                cfg.get("vocoder_ckpt", ""))
+            if ckpt is not None:
+                from stylesinger_tpu.convert import load_melgan_checkpoint
+                variables, self.stats = load_melgan_checkpoint(
+                    ckpt, stats_path=stats_p)
+                params = variables["params"]
+                print(f"| Loaded MelGAN vocoder from {ckpt}"
+                      + (" (+feature stats)" if self.stats else ""))
+            elif cfg.get("vocoder_ckpt", ""):
+                print(f"| WARN: vocoder_ckpt {cfg['vocoder_ckpt']} has no "
+                      "MelGAN checkpoint; using random weights")
         self.model = MelGANGenerator(cfg)
         self._rng = jax.random.PRNGKey(0)
         if params is None:
@@ -235,4 +344,8 @@ class MelGAN(BaseVocoder):
 
     def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
         import jax.numpy as jnp
-        return np.asarray(self._jit(self.params, jnp.asarray(mel)[None]))[0]
+
+        c = np.asarray(mel, np.float32)
+        if self.stats is not None:
+            c = (c - self.stats["mean"]) / self.stats["scale"]
+        return np.asarray(self._jit(self.params, jnp.asarray(c)[None]))[0]
