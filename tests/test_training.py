@@ -586,3 +586,178 @@ def test_warm_start_params_nonstrict(tmp_path, tiny_cfg, rng):
     # missing checkpoint dir raises
     with pytest.raises(FileNotFoundError):
         warm_start_params(state.params, str(tmp_path / "nope"), cfg)
+
+
+def _fixed_shape_batch(cfg, rng, n=8, t=24):
+    """Like _synthetic_batch but with a fixed frame/token length so several
+    batches share one signature (the scan-dispatch stacking is then exact,
+    not just mask-equivalent)."""
+    tt = t // 4
+    items = []
+    for i in range(n):
+        items.append({
+            "item_name": f"i{i}",
+            "mel": rng.standard_normal(
+                (t, cfg["audio_num_mel_bins"])).astype(np.float32) * 0.5 - 2,
+            "mel2ph": np.repeat(np.arange(1, tt + 1), 4)[:t],
+            "f0": np.abs(rng.standard_normal(t)).astype(np.float32) * 100
+            + 150,
+            "ph_token": rng.integers(1, VOCAB, tt),
+            "ep_pitches": rng.integers(40, 80, tt),
+            "ep_notedurs": rng.uniform(0.1, 0.6, tt).astype(np.float32),
+            "ep_types": np.ones(tt, np.int64),
+            "spk_embed": rng.standard_normal(256).astype(np.float32),
+            "emo_embed": rng.standard_normal(256).astype(np.float32),
+        })
+    ds = StyleSingerDataset(cfg, "train", items=items)
+    return collate_batch([ds[i] for i in range(n)],
+                         cfg["frame_buckets"], cfg["token_buckets"])
+
+
+def test_scan_dispatch_matches_per_step(tmp_path, tiny_cfg, rng):
+    """steps_per_dispatch>1 (on-device lax.scan over a stacked epoch) must
+    reproduce the per-step dispatcher exactly: same batch schedule, same
+    rng stream (folded in state.step), same curriculum phases — windows
+    are clipped at phase boundaries and log/val intervals."""
+    from stylesinger_tpu.training.trainer import Trainer
+
+    cfg = dict(tiny_cfg)
+    # phase flips inside the run: forcing off at 2, rq on at 4, diff on at 1
+    cfg.update(max_frames=64, max_updates=6, val_check_interval=6,
+               tb_log_interval=2, valid_infer_interval=10 ** 9,
+               num_ckpt_keep=1, forcing=2, rq_start=3, diff_start=0,
+               steps_per_dispatch=4, prefetch_batches=0)
+    model = StyleSinger(cfg, VOCAB)
+    batches = [_fixed_shape_batch(cfg, rng, n=8) for _ in range(3)]
+    batches = [{k: v for k, v in b.items() if k != "nsamples"}
+               for b in batches]
+
+    trainer = Trainer(model, cfg, str(tmp_path / "scan"))
+    state_scan = trainer.fit(batches, example_batch=batches[0])
+    assert int(state_scan.step) == 6
+
+    # replay: per-step dispatcher over the scan path's (deterministic)
+    # epoch-permutation schedule
+    mesh = make_mesh()
+    state = init_state(model, cfg, trainer._numeric(batches[0]),
+                       jax.random.PRNGKey(cfg["seed"]))
+    step_fn = make_train_step(model, cfg)
+    rng_j = jax.random.PRNGKey(cfg["seed"])
+    for t in range(6):
+        epoch, n_b = t // 3, 3
+        perm = np.random.default_rng(cfg["seed"] + epoch).permutation(n_b)
+        b = trainer._numeric(batches[int(perm[t % n_b])])
+        state, _ = step_fn(state, shard_batch(b, mesh), rng_j,
+                           phase_for_step(t, cfg))
+
+    got = jax.tree_util.tree_leaves(state_scan.params)
+    want = jax.tree_util.tree_leaves(state.params)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5)
+    for g, w in zip(jax.tree_util.tree_leaves(state_scan.codebook),
+                    jax.tree_util.tree_leaves(state.codebook)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_scan_dispatch_budget_fallback(tmp_path, tiny_cfg, rng, capsys):
+    """An epoch above device_data_budget_mb must fall back to streaming
+    per-step dispatch (and say so) rather than uploading the epoch."""
+    from stylesinger_tpu.training.trainer import Trainer
+
+    cfg = dict(tiny_cfg)
+    cfg.update(max_frames=64, max_updates=2, val_check_interval=2,
+               tb_log_interval=1, valid_infer_interval=10 ** 9,
+               num_ckpt_keep=1, steps_per_dispatch=4, prefetch_batches=0,
+               device_data_budget_mb=0.0001)
+    model = StyleSinger(cfg, VOCAB)
+    batch = _fixed_shape_batch(cfg, rng, n=8)
+    batch = {k: v for k, v in batch.items() if k != "nsamples"}
+    trainer = Trainer(model, cfg, str(tmp_path / "fb"))
+    state = trainer.fit([batch], example_batch=batch)
+    assert int(state.step) == 2
+    assert "streaming per-step" in capsys.readouterr().out
+
+
+def test_vocoder_scan_matches_per_step(tiny_cfg, rng):
+    """The on-device GAN scan (make_vocoder_scan) must reproduce the
+    per-step disc+gen dispatchers when cropping is the identity (every
+    corpus item exactly crop_frames long, batch = corpus)."""
+    from stylesinger_tpu.training.vocoder_task import (
+        init_vocoder_state, make_vocoder_bodies, make_vocoder_scan,
+        stack_corpus,
+    )
+
+    cfg = dict(tiny_cfg)
+    cfg.update(hop_size=64, fft_size=256, win_size=256,
+               audio_num_mel_bins=16, fmax=8000, audio_sample_rate=16000)
+    hop, t = 64, 16
+    items = [{
+        "mel": rng.standard_normal((t, 16)).astype(np.float32),
+        "wav": rng.standard_normal(t * hop).astype(np.float32) * 0.3,
+        "f0": np.full(t, 200.0, np.float32),
+    }]
+    data = stack_corpus(items, cfg, max_frames=t)
+    assert data["wav"].shape == (1, t * hop)
+    jdata = {k: jnp.asarray(v) for k, v in data.items()}
+
+    mk_state = lambda: init_vocoder_state(  # noqa: E731
+        cfg, jax.random.PRNGKey(0), jnp.asarray(data["mels"]),
+        jnp.asarray(data["f0"]))
+    key = jax.random.PRNGKey(7)
+
+    scan_steps = make_vocoder_scan(cfg)
+    st_scan, m = scan_steps(mk_state(), jdata, key, 2, t, 1)
+    assert int(st_scan.step) == 2
+    assert m["gen_loss"].shape == (2,)
+
+    # replay: identity crop -> the full corpus batch every step
+    disc_body, gen_body = make_vocoder_bodies(cfg)
+    batch = {"mels": jdata["mels"], "wav": jdata["wav"], "f0": jdata["f0"]}
+    st = mk_state()
+    for i in range(2):
+        k = jax.random.fold_in(key, i)
+        st, dm = jax.jit(disc_body)(st, batch, k)
+        st, gm = jax.jit(gen_body)(st, batch, k)
+        np.testing.assert_allclose(float(m["gen_loss"][i]),
+                                   float(gm["gen_loss"]), rtol=1e-4)
+    for g, w in zip(jax.tree_util.tree_leaves(st_scan.gen_params),
+                    jax.tree_util.tree_leaves(st.gen_params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5)
+    for g, w in zip(jax.tree_util.tree_leaves(st_scan.disc_params),
+                    jax.tree_util.tree_leaves(st.disc_params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_vocoder_scan_random_crops(tiny_cfg, rng):
+    """General path: variable-length corpus, on-device random crops, a
+    4-step window — finite losses, step advances, crops stay in-bounds
+    (would NaN/garbage if the dynamic slice read past an item)."""
+    from stylesinger_tpu.training.vocoder_task import (
+        init_vocoder_state, make_vocoder_scan, stack_corpus,
+    )
+
+    cfg = dict(tiny_cfg)
+    cfg.update(hop_size=64, fft_size=256, win_size=256,
+               audio_num_mel_bins=16, fmax=8000, audio_sample_rate=16000)
+    hop = 64
+    items = []
+    for t in (40, 24, 33):
+        items.append({
+            "mel": rng.standard_normal((t, 16)).astype(np.float32),
+            "wav": rng.standard_normal(t * hop).astype(np.float32) * 0.3,
+            "f0": np.full(t, 200.0, np.float32),
+        })
+    data = stack_corpus(items, cfg, max_frames=40)
+    jdata = {k: jnp.asarray(v) for k, v in data.items()}
+    state = init_vocoder_state(cfg, jax.random.PRNGKey(0),
+                               jnp.asarray(data["mels"][:, :16]),
+                               jnp.asarray(data["f0"][:, :16]))
+    scan_steps = make_vocoder_scan(cfg)
+    state, m = scan_steps(state, jdata, jax.random.PRNGKey(3), 4, 16, 2)
+    assert int(state.step) == 4
+    for k, v in m.items():
+        assert np.isfinite(np.asarray(v)).all(), (k, v)

@@ -14,6 +14,9 @@ STEPS="${1:-320000}"
 DIR="${2:-data/validation}"
 OV="forcing=20000,rq_start=20500,diff_start=100000,warmup_updates=8000"
 OV="$OV,val_check_interval=5000,max_updates=${STEPS}"
+# multi-step dispatch: 50 optimizer steps per device program (window is
+# clipped to log/val boundaries and curriculum flips automatically)
+OV="$OV,steps_per_dispatch=50"
 
 echo "== tunnel probe"
 timeout 300 python -c "import jax; print(jax.devices())" || {

@@ -235,10 +235,23 @@ def main():
                                max_sentences=cfg["max_valid_sentences"])
             return bb.batches(0)
 
+        class EpochBatches:
+            """Finite re-iterable epoch (fixed order) for the scan
+            dispatcher: Trainer._stack_batches uploads it once and
+            reshuffles batch order per epoch itself."""
+
+            def __iter__(self):
+                bb = BucketBatcher(train_ds, cfg, shuffle=True,
+                                   seed=cfg["seed"])
+                return iter(bb.batches(0))
+
+        source = (EpochBatches()
+                  if int(cfg.get("steps_per_dispatch", 1)) > 1
+                  else endless())
         t0 = time.time()
         from stylesinger_tpu.training.trainer import HostMemoryExceeded
         try:
-            state = trainer.fit(endless(), valid_batches)
+            state = trainer.fit(source, valid_batches)
         except HostMemoryExceeded as e:
             # restartable: rerun the same command; fit resumes from the
             # checkpoint the watchdog just saved (exit 75 = EX_TEMPFAIL)

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--dir", default="data/validation")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--crop_frames", type=int, default=64)
+    ap.add_argument("--spd", type=int, default=1,
+                    help="GAN steps per device dispatch (>1 = on-device "
+                    "lax.scan over a device-resident corpus with on-device "
+                    "random crops; the per-step host loop otherwise)")
     args = ap.parse_args()
 
     import jax
@@ -75,22 +79,71 @@ def main():
     state = init_vocoder_state(cfg, jax.random.PRNGKey(0),
                                jnp.asarray(batch0["mels"]),
                                jnp.asarray(batch0["f0"]))
-    gen_step, disc_step = make_vocoder_steps(cfg)
+
+    # resume from the periodic full-state snapshot (hours-long GAN runs
+    # must survive tunnel restarts; exit-75 contract like the trainer)
+    from flax import serialization
+    ckpt_fn = os.path.join(work_dir, "gan_state.msgpack")
+    start = 0
+    if os.path.exists(ckpt_fn):
+        with open(ckpt_fn, "rb") as f:
+            state = serialization.from_bytes(state, f.read())
+        start = int(state.step)
+        print(f"| resumed GAN state at step {start}")
+
+    def save_state(st):
+        tmp = ckpt_fn + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(st)))
+        os.replace(tmp, ckpt_fn)
 
     t0 = time.time()
     key = jax.random.PRNGKey(1)
-    for i in range(args.steps):
-        batch = crop_batch(sample_items(), cfg, rng,
-                           crop_frames=args.crop_frames)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        k = jax.random.fold_in(key, i)
-        state, dm = disc_step(state, jb, k)
-        state, gm = gen_step(state, jb, k)
-        if (i + 1) % 500 == 0 or i == 0:
-            msg = {k2: round(float(v), 4) for k2, v in {**dm, **gm}.items()}
-            print(f"| step {i + 1}: {msg} ({(i + 1) / (time.time() - t0):.1f}"
-                  " steps/s)")
-    print(f"| trained {args.steps} gan steps in {time.time() - t0:.0f}s")
+    if args.spd > 1:
+        from stylesinger_tpu.training.vocoder_task import (
+            make_vocoder_scan, stack_corpus,
+        )
+        max_t = max(int(it["mel"].shape[0]) for it in train_items)
+        data = stack_corpus(train_items, cfg, max_frames=max_t)
+        jdata = {k: jax.device_put(jnp.asarray(v)) for k, v in data.items()}
+        mb = sum(v.nbytes for v in data.values()) / 1e6
+        print(f"| GAN scan dispatch: corpus {mb:.0f} MB device-resident, "
+              f"{args.spd} steps/dispatch")
+        scan_steps = make_vocoder_scan(cfg)
+        i, t_log = start, time.time()
+        while i < args.steps:
+            w = min(args.spd, args.steps - i, 500 - i % 500)
+            state, m = scan_steps(state, jdata, key, w,
+                                  args.crop_frames, args.batch)
+            i += w
+            if i % 500 == 0 or i >= args.steps:
+                msg = {k2: round(float(np.asarray(v).mean()), 4)
+                       for k2, v in m.items()}
+                print(f"| step {i}: {msg} "
+                      f"({500 / max(time.time() - t_log, 1e-9):.1f} "
+                      "steps/s)", flush=True)
+                t_log = time.time()
+            if i % 5000 == 0:
+                save_state(state)
+    else:
+        gen_step, disc_step = make_vocoder_steps(cfg)
+        for i in range(start, args.steps):
+            batch = crop_batch(sample_items(), cfg, rng,
+                               crop_frames=args.crop_frames)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            k = jax.random.fold_in(key, i)
+            state, dm = disc_step(state, jb, k)
+            state, gm = gen_step(state, jb, k)
+            if (i + 1) % 500 == 0 or i == 0:
+                msg = {k2: round(float(v), 4)
+                       for k2, v in {**dm, **gm}.items()}
+                print(f"| step {i + 1}: {msg} "
+                      f"({(i + 1 - start) / (time.time() - t0):.1f}"
+                      " steps/s)", flush=True)
+            if (i + 1) % 5000 == 0:
+                save_state(state)
+    save_state(state)
+    print(f"| trained to step {args.steps} in {time.time() - t0:.0f}s")
 
     # ---- resynthesis eval on the held-out singer ----
     gen = HifiGanGenerator(cfg)
