@@ -1,0 +1,47 @@
+#!/bin/bash
+# Round-4 stage 1.5: wait for the 320k acoustic run (tools/
+# r4_train_acoustic.sh logging to $LOG) to finish, then produce the full
+# evidence chain on the TPU:
+#   diffusion-vs-coarse -> fast-sampler gates (incl. DPM-10) ->
+#   collect results -> 100k vocoder GAN run -> e2e validation -> collect
+#
+# Usage: bash tools/r4_post_acoustic.sh [log=/tmp/r4_acoustic.log]
+#        [dir=data/r4full] [steps=320000] [vdir=data/validation]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+LOG="${1:-/tmp/r4_acoustic.log}"
+DIR="${2:-data/r4full}"
+STEPS="${3:-320000}"
+VDIR="${4:-data/validation}"
+OV="forcing=20000,rq_start=20500,diff_start=100000,warmup_updates=8000"
+OV="$OV,val_check_interval=5000,max_updates=${STEPS},steps_per_dispatch=50"
+
+echo "== waiting for acoustic run completion marker in $LOG"
+for i in $(seq 1 2000); do
+  if grep -q "acoustic ${STEPS}-step run complete" "$LOG" 2>/dev/null; then
+    break
+  fi
+  if grep -q "training failed with rc=" "$LOG" 2>/dev/null; then
+    echo "acoustic run FAILED; aborting chain"; exit 1
+  fi
+  sleep 30
+done
+grep -q "acoustic ${STEPS}-step run complete" "$LOG" || {
+  echo "timed out waiting for the acoustic run"; exit 1; }
+
+echo "== diffusion vs coarse (mel domain)"
+timeout 3600 python tools/compare_diff_coarse.py --dir "$DIR" \
+  --steps "$STEPS" || true
+
+echo "== fast-sampler gates (exact / PLMS-5 / f0fast-5 / DPM-10)"
+timeout 7200 python tools/eval_fast_samplers.py --dir "$DIR" \
+  --steps "$STEPS" --overrides "$OV" || true
+
+python tools/collect_results.py --dir "$DIR" --tag acoustic_320k
+
+echo "== vocoder 100k GAN run"
+bash tools/r4_vocoder.sh 100000 "$VDIR" || true
+python tools/collect_results.py --dir "$VDIR" --tag vocoder_100k || true
+
+echo "== r4 evidence chain done"
