@@ -42,6 +42,17 @@ python tools/collect_results.py --dir "$DIR" --tag acoustic_320k
 
 echo "== vocoder 100k GAN run"
 bash tools/r4_vocoder.sh 100000 "$VDIR" || true
+
+echo "== e2e: 320k acoustic + 100k vocoder"
+# validate_e2e reads the acoustic ckpt from <dir>/work and the trained
+# generator from <dir>/work_vocoder; point the run dir's work_vocoder at
+# the GAN run's output
+if [ ! -e "$DIR/work_vocoder" ]; then
+  ln -s "$(cd "$VDIR" && pwd)/work_vocoder" "$DIR/work_vocoder"
+fi
+timeout 3600 python tools/validate_e2e.py --dir "$DIR" \
+  --steps "$STEPS" || true
 python tools/collect_results.py --dir "$VDIR" --tag vocoder_100k || true
+python tools/collect_results.py --dir "$DIR" --tag acoustic_320k || true
 
 echo "== r4 evidence chain done"

@@ -27,6 +27,4 @@ if [ "$rc" -ne 0 ]; then
   echo "vocoder training never completed"; exit 75
 fi
 
-echo "== e2e validation with the trained vocoder"
-python tools/validate_e2e.py --dir "$DIR" || true
-echo "== done"
+echo "== done (run validate_e2e from the chain with the acoustic run dir)"
