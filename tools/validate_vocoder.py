@@ -38,6 +38,9 @@ def main():
                     help="GAN steps per device dispatch (>1 = on-device "
                     "lax.scan over a device-resident corpus with on-device "
                     "random crops; the per-step host loop otherwise)")
+    ap.add_argument("--overrides", default="",
+                    help="extra cfg 'k=v,...' (e.g. "
+                    "vocoder_compute_dtype=bfloat16)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +63,7 @@ def main():
     work_dir = os.path.join(args.dir, "work_vocoder")
     os.makedirs(work_dir, exist_ok=True)
     cfg = build_cfg(os.path.join(args.dir, "raw"), bin_dir, work_dir,
-                    args.steps)
+                    args.steps, overrides=args.overrides)
     # crops are tiny; the blocked MRF path is for long serving buffers
     cfg["mrf_block"] = 0
 
