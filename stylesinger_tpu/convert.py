@@ -524,15 +524,10 @@ def load_pwg_checkpoint(ckpt_path: str, stats_path: Optional[str] = None,
             gen_params = (yaml.safe_load(f) or {}).get(
                 "generator_params", {})
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-    stats = None
-    if isinstance(ckpt, dict) and "state_dict" in ckpt:  # custom ckpt
-        sd = {k[len("model_gen."):]: v
-              for k, v in ckpt["state_dict"].items()
-              if k.startswith("model_gen.")}
-    else:  # official vocoder ckpt + feature stats
-        sd = ckpt["model"]["generator"]
-        if stats_path and os.path.exists(stats_path):
-            stats = _load_feature_stats(stats_path)
+    sd, official = _generator_sd(ckpt, ckpt_path)
+    stats = (_load_feature_stats(stats_path)
+             if official and stats_path and os.path.exists(stats_path)
+             else None)
     layers = int(gen_params.get("layers", 30))
     n_scales = len(gen_params.get("upsample_params", {}).get(
         "upsample_scales", [4, 4, 4, 4]))
@@ -540,28 +535,71 @@ def load_pwg_checkpoint(ckpt_path: str, stats_path: Optional[str] = None,
         gen_params
 
 
-def load_melgan_checkpoint(ckpt_path: str,
-                           stats_path: Optional[str] = None):
-    """MelGAN analogue of load_pwg_checkpoint: official
-    ``{"model": {"generator": sd}}`` or custom ``model_gen.*`` layout,
-    optional hdf5/npy feature stats."""
-    import torch
-
-    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-    stats = None
+def _generator_sd(ckpt, ckpt_path: str = "<ckpt>"):
+    """Extract the generator state_dict from either checkpoint layout the
+    reference loads (vocoders/pwg.py:16-52): a CUSTOM task checkpoint
+    ``{"state_dict": {"model_gen.*": ...}}`` or an OFFICIAL
+    parallel-wavegan training checkpoint ``{"model": {"generator": sd}}``.
+    Returns (sd, is_official); raises with a clear message otherwise."""
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         sd = {k[len("model_gen."):]: v
               for k, v in ckpt["state_dict"].items()
               if k.startswith("model_gen.")}
-    else:
+        official = False
+    elif isinstance(ckpt, dict) and isinstance(ckpt.get("model"), dict) \
+            and "generator" in ckpt["model"]:
         sd = ckpt["model"]["generator"]
-        if stats_path and os.path.exists(stats_path):
-            stats = _load_feature_stats(stats_path)
+        official = True
+    else:
+        raise ValueError(
+            f"{ckpt_path}: not a recognized vocoder checkpoint (expected "
+            "'state_dict' with model_gen.* keys or model.generator)")
+    if not sd:
+        raise ValueError(f"{ckpt_path}: generator state_dict is empty")
+    return sd, official
+
+
+def _wn_weight(sd: Mapping, name: str) -> np.ndarray:
+    """Raw (possibly weight-normed) torch conv weight, for shape probes."""
+    key = f"{name}.weight" if f"{name}.weight" in sd else f"{name}.weight_v"
+    return _np(sd[key])
+
+
+def load_melgan_checkpoint(ckpt_path: str,
+                           stats_path: Optional[str] = None):
+    """MelGAN analogue of load_pwg_checkpoint: official
+    ``{"model": {"generator": sd}}`` or custom ``model_gen.*`` layout,
+    optional hdf5/npy feature stats.
+
+    Returns (variables, stats, gen_params) where gen_params carries the
+    architecture READ FROM THE CHECKPOINT ITSELF (upsample scales from each
+    ConvTranspose kernel k=2r, channel width from conv_pre) so the wrapper
+    builds a generator matching the trained weights, not the repo config —
+    mirrors vocoders/pwg.py:24-30 which rebuilds the torch generator from
+    the ckpt's own config.yml."""
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd, official = _generator_sd(ckpt, ckpt_path)
+    stats = (_load_feature_stats(stats_path)
+             if official and stats_path and os.path.exists(stats_path)
+             else None)
     # infer scale count from the Sequential layout: conv_pre at 1, then
     # 5 entries per scale (leaky, convT, 3 stacks), conv_post at 5n+4
-    top = max(int(k.split(".")[1]) for k in sd if k.startswith("melgan."))
-    n_scales = (top - 4) // 5
-    return convert_melgan(sd, n_scales=n_scales), stats
+    tops = [int(k.split(".")[1]) for k in sd if k.startswith("melgan.")]
+    if not tops:
+        raise ValueError(
+            f"{ckpt_path}: no 'melgan.*' keys — not a MelGAN generator "
+            "checkpoint (PWG/HiFi-GAN ckpts need their own loaders)")
+    n_scales = (max(tops) - 4) // 5
+    gen_params = {
+        "base_channels": int(_wn_weight(sd, "melgan.1").shape[0]),
+        # ConvTranspose1d weight is [in, out, k] with k = 2*rate
+        "upsample_scales": [
+            int(_wn_weight(sd, f"melgan.{3 + 5 * i}").shape[2]) // 2
+            for i in range(n_scales)],
+    }
+    return convert_melgan(sd, n_scales=n_scales), stats, gen_params
 
 
 def _load_feature_stats(stats_path: str) -> Dict[str, np.ndarray]:

@@ -274,7 +274,11 @@ class PWG(BaseVocoder):
                       "PWG checkpoint; using random weights")
         self.model = ParallelWaveGANGenerator(self.cfg, **gen_kw)
         self._rng = jax.random.PRNGKey(0)
-        self._hop = int(np.prod(pwg_upsample_scales(self.cfg)))
+        hop = int(np.prod(pwg_upsample_scales(self.cfg)))
+        if hop != int(cfg["hop_size"]):
+            print(f"| WARN: PWG upsample scales multiply to {hop} but the "
+                  f"pipeline hop_size is {cfg['hop_size']}; wav lengths "
+                  "will disagree with frames*hop_size")
         if params is None:
             probe = jnp.zeros((1, 8, cfg["audio_num_mel_bins"]))
             pitch = (jnp.zeros((1, 8), jnp.int32)
@@ -320,20 +324,28 @@ class MelGAN(BaseVocoder):
 
         self.cfg = cfg
         self.stats = None
+        gen_kw: Dict[str, Any] = {}
         if params is None:
             ckpt, stats_p, _ = _find_legacy_ckpt(
                 cfg.get("vocoder_ckpt", ""))
             if ckpt is not None:
                 from stylesinger_tpu.convert import load_melgan_checkpoint
-                variables, self.stats = load_melgan_checkpoint(
+                variables, self.stats, gp = load_melgan_checkpoint(
                     ckpt, stats_path=stats_p)
                 params = variables["params"]
+                # build the generator to the CHECKPOINT's architecture
+                # (scales/width inferred from the trained kernels), not
+                # the repo config — vocoders/pwg.py:24-30 semantics
+                gen_kw = {"base_channels": gp["base_channels"]}
+                cfg = dict(cfg)
+                cfg["melgan_upsample_scales"] = list(gp["upsample_scales"])
+                self.cfg = cfg
                 print(f"| Loaded MelGAN vocoder from {ckpt}"
                       + (" (+feature stats)" if self.stats else ""))
             elif cfg.get("vocoder_ckpt", ""):
                 print(f"| WARN: vocoder_ckpt {cfg['vocoder_ckpt']} has no "
                       "MelGAN checkpoint; using random weights")
-        self.model = MelGANGenerator(cfg)
+        self.model = MelGANGenerator(cfg, **gen_kw)
         self._rng = jax.random.PRNGKey(0)
         if params is None:
             probe = jnp.zeros((1, 8, cfg["audio_num_mel_bins"]))

@@ -846,3 +846,42 @@ def test_pwg_wrapper_trained_path(hp, rng, tmp_path):
     cfg2["vocoder_ckpt"] = ""
     wav_rand = PWG(cfg2).spec2wav(mel)
     assert not np.allclose(wav, wav_rand)
+
+
+def test_melgan_wrapper_trained_path(hp, rng, tmp_path):
+    """The MelGAN registry wrapper builds the generator to the
+    CHECKPOINT's architecture (scales/width inferred from the trained
+    kernels), even when the repo config disagrees, and matches the torch
+    reference's output on a stats-normalized mel (vocoders/pwg.py:24-30
+    rebuild-from-ckpt semantics)."""
+    from modules.parallel_wavegan.models.melgan import (
+        MelGANGenerator as RefMelGAN,
+    )
+
+    from stylesinger_tpu.vocoder_infer import MelGAN
+
+    torch.manual_seed(5)
+    aux, t_mel = 16, 12
+    ref = RefMelGAN(in_channels=aux, out_channels=1, channels=64,
+                    upsample_scales=[4, 4], stacks=3).eval()
+    torch.save({"model": {"generator": ref.state_dict()}},
+               str(tmp_path / "checkpoint-100000steps.pkl"))
+    mean = np.linspace(-2, 0, aux).astype(np.float32)
+    scale = np.full(aux, 0.7, np.float32)
+    np.save(str(tmp_path / "stats.npy"), np.stack([mean, scale]))
+
+    cfg = dict(TINY_HPARAMS)
+    # deliberately WRONG repo-level architecture: the wrapper must use the
+    # checkpoint's [4, 4] / 64ch, not these
+    cfg.update(audio_num_mel_bins=aux, hop_size=16,
+               upsample_rates=(8, 8, 2, 2),
+               vocoder_ckpt=str(tmp_path))
+    voc = MelGAN(cfg)
+    assert voc.stats is not None
+    mel = rng.standard_normal((t_mel, aux)).astype(np.float32)
+    wav = voc.spec2wav(mel)
+    assert wav.shape == (t_mel * 16,)
+    with torch.no_grad():
+        want = ref(_t(((mel - mean) / scale)[None].transpose(
+            0, 2, 1))).numpy()[0, 0]
+    _close(wav, want, atol=1e-4, rtol=1e-3)
