@@ -12,5 +12,5 @@ from stylesinger_tpu.data.indexed_dataset import (  # noqa: F401
 )
 from stylesinger_tpu.data.dataset import StyleSingerDataset  # noqa: F401
 from stylesinger_tpu.data.batching import (  # noqa: F401
-    BucketBatcher, batch_by_size, collate_batch, pad_to,
+    BucketBatcher, EpochBatches, batch_by_size, collate_batch, pad_to,
 )

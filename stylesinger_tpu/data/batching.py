@@ -164,3 +164,28 @@ class BucketBatcher:
 
     def __iter__(self) -> Iterator[Dict]:
         return self.batches()
+
+
+class EpochBatches:
+    """Finite, re-iterable epoch source for :meth:`Trainer.fit`.
+
+    Each ``__iter__`` yields exactly ONE epoch of batches and then advances
+    the shuffle epoch, so the per-step streaming loop (which re-iterates on
+    ``StopIteration``) sees a fresh permutation every pass, while the scan
+    dispatcher (``Trainer._stack_batches``) can materialize exactly one
+    epoch without blowing its device-data budget — it reshuffles batch
+    order per epoch on-device itself (seed+epoch permutation).
+
+    Mirrors the reference's per-epoch reshuffling dataloader
+    (`utils/trainer.py:246-253`, sampler re-seeded each epoch)."""
+
+    def __init__(self, dataset, cfg, shuffle: bool = True,
+                 seed: Optional[int] = None, **kw):
+        self._make = lambda: BucketBatcher(
+            dataset, cfg, shuffle=shuffle,
+            seed=cfg["seed"] if seed is None else seed, **kw)
+        self.epoch = 0
+
+    def __iter__(self) -> Iterator[Dict]:
+        yield from self._make().batches(self.epoch)
+        self.epoch += 1

@@ -160,7 +160,9 @@ def main() -> None:
         return
 
     if args.command == "train":
-        from stylesinger_tpu.data import BucketBatcher, StyleSingerDataset
+        from stylesinger_tpu.data import (
+            BucketBatcher, EpochBatches, StyleSingerDataset,
+        )
         from stylesinger_tpu.models.stylesinger import StyleSinger
         from stylesinger_tpu.text import build_token_encoder
         from stylesinger_tpu.training.trainer import Trainer
@@ -176,14 +178,11 @@ def main() -> None:
         import jax
         rank, world = jax.process_index(), jax.process_count()
 
-        def endless():
-            epoch = 0
-            while True:
-                bb = BucketBatcher(train_ds, cfg, shuffle=True,
-                                   seed=cfg["seed"], rank=rank,
-                                   world_size=world)
-                yield from bb.batches(epoch)
-                epoch += 1
+        # finite-but-re-iterable: the per-step loop re-iterates on epoch end
+        # (fresh shuffle each pass) and the steps_per_dispatch>1 scan path
+        # can materialize exactly one epoch (Trainer._stack_batches)
+        train_batches = EpochBatches(train_ds, cfg, rank=rank,
+                                     world_size=world)
 
         def valid_batches():
             bb = BucketBatcher(valid_ds, cfg, shuffle=False,
@@ -193,7 +192,7 @@ def main() -> None:
 
         from stylesinger_tpu.training.trainer import HostMemoryExceeded
         try:
-            trainer.fit(endless(), valid_batches)
+            trainer.fit(train_batches, valid_batches)
         except HostMemoryExceeded as e:
             print(f"| {e}")
             print("| host-RSS watchdog checkpointed and is exiting 75 "

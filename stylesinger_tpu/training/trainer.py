@@ -419,34 +419,49 @@ class Trainer:
 
             for k, v in m.items():
                 window_losses.setdefault(k, []).append(v)
-            if step % c["tb_log_interval"] == 0:
-                logged = self._drain_window(window_losses)
-                logged["steps_per_sec"] = c["tb_log_interval"] / \
-                    max(time.time() - t0, 1e-9)
-                rss = host_rss_gb()
-                logged["host_rss_gb"] = rss
-                t0 = time.time()
-                self.metrics.write(step, logged, "train")
-                window_losses.clear()
-                if not np.isfinite(logged.get("total_loss", 0.0)):
-                    raise FloatingPointError(
-                        f"non-finite loss at step {step}: {logged}")
-                if rss > rss_limit:
-                    print(f"| host RSS {rss:.1f} GB > limit {rss_limit:.1f} "
-                          f"GB: checkpointing at step {step} and exiting "
-                          "for restart")
-                    self.ckpt.save(step, state)
-                    raise HostMemoryExceeded(
-                        f"host RSS {rss:.1f} GB exceeded {rss_limit:.1f} GB "
-                        f"at step {step} (checkpoint saved; resume-safe)")
-
-            if step % c["val_check_interval"] == 0:
-                val_loss = None
-                if valid_batches_fn is not None:
-                    val_loss = self.validate(state, valid_batches_fn(), step,
-                                             phase)
-                self.ckpt.save(step, state, val_loss)
+            t0 = self._log_val_save(step, state, phase, window_losses, t0,
+                                    rss_limit, valid_batches_fn)
         return step, state
+
+    def _log_val_save(self, step, state, phase, window_losses, t0,
+                      rss_limit, valid_batches_fn):
+        """Shared per-boundary bookkeeping for BOTH dispatch loops: metric
+        drain + steps/s, host-RSS watchdog, non-finite-loss trap, and
+        validation/checkpoint at the val cadence. ``phase`` is the phase of
+        the just-completed step(s) — the scan dispatcher's windows never
+        cross a curriculum boundary (see ``_window_len``), so passing the
+        window's phase keeps the two dispatchers' validation streams
+        identical at boundaries like ``forcing``. Returns the (possibly
+        reset) log-window start time."""
+        c = self.cfg
+        if step % c["tb_log_interval"] == 0:
+            logged = self._drain_window(window_losses)
+            logged["steps_per_sec"] = c["tb_log_interval"] / \
+                max(time.time() - t0, 1e-9)
+            rss = host_rss_gb()
+            logged["host_rss_gb"] = rss
+            t0 = time.time()
+            self.metrics.write(step, logged, "train")
+            window_losses.clear()
+            if not np.isfinite(logged.get("total_loss", 0.0)):
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}: {logged}")
+            if rss > rss_limit:
+                print(f"| host RSS {rss:.1f} GB > limit {rss_limit:.1f} "
+                      f"GB: checkpointing at step {step} and exiting "
+                      "for restart")
+                self.ckpt.save(step, state)
+                raise HostMemoryExceeded(
+                    f"host RSS {rss:.1f} GB exceeded {rss_limit:.1f} GB "
+                    f"at step {step} (checkpoint saved; resume-safe)")
+
+        if step % c["val_check_interval"] == 0:
+            val_loss = None
+            if valid_batches_fn is not None:
+                val_loss = self.validate(state, valid_batches_fn(), step,
+                                         phase)
+            self.ckpt.save(step, state, val_loss)
+        return t0
 
     # ----------------------------------------------- multi-step dispatch
     def _stack_batches(self, train_batches) -> Optional[tuple]:
@@ -557,34 +572,8 @@ class Trainer:
             step += w
             for k, v in m.items():
                 window_losses.setdefault(k, []).append(v)
-
-            if step % c["tb_log_interval"] == 0:
-                logged = self._drain_window(window_losses)
-                logged["steps_per_sec"] = c["tb_log_interval"] / \
-                    max(time.time() - t0, 1e-9)
-                rss = host_rss_gb()
-                logged["host_rss_gb"] = rss
-                t0 = time.time()
-                self.metrics.write(step, logged, "train")
-                window_losses.clear()
-                if not np.isfinite(logged.get("total_loss", 0.0)):
-                    raise FloatingPointError(
-                        f"non-finite loss at step {step}: {logged}")
-                if rss > rss_limit:
-                    print(f"| host RSS {rss:.1f} GB > limit {rss_limit:.1f} "
-                          f"GB: checkpointing at step {step} and exiting "
-                          "for restart")
-                    self.ckpt.save(step, state)
-                    raise HostMemoryExceeded(
-                        f"host RSS {rss:.1f} GB exceeded {rss_limit:.1f} GB "
-                        f"at step {step} (checkpoint saved; resume-safe)")
-
-            if step % c["val_check_interval"] == 0:
-                val_loss = None
-                if valid_batches_fn is not None:
-                    val_loss = self.validate(state, valid_batches_fn(), step,
-                                             phase_for_step(step, c))
-                self.ckpt.save(step, state, val_loss)
+            t0 = self._log_val_save(step, state, phase, window_losses, t0,
+                                    rss_limit, valid_batches_fn)
         return step, state
 
     @staticmethod

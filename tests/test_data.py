@@ -111,6 +111,31 @@ def test_bucket_batcher_epoch(rng, tiny_cfg):
         assert s[0] in tuple(cfg["frame_buckets"])
 
 
+def test_epoch_batches_reshuffles_per_pass(rng, tiny_cfg):
+    """EpochBatches is finite per pass (scan dispatcher can materialize one
+    epoch) and advances the shuffle epoch on each re-iteration (the
+    streaming fallback must NOT see the same order every epoch)."""
+    from stylesinger_tpu.data import EpochBatches
+
+    items = _make_items(rng, 10)
+    cfg = dict(tiny_cfg)
+    cfg["seed"] = 7
+    ds = StyleSingerDataset(cfg, "train", items=items)
+    src = EpochBatches(ds, cfg, max_tokens=200, max_sentences=2)
+
+    def epoch_ids():
+        return [tuple(np.asarray(b["item_name"]).tolist()
+                      if "item_name" in b else
+                      np.asarray(b["txt_tokens"]).sum(-1).tolist())
+                for b in src]
+
+    e0, e1 = epoch_ids(), epoch_ids()
+    assert src.epoch == 2
+    n0 = sum(len(x) for x in e0)
+    assert n0 == sum(len(x) for x in e1) > 0
+    assert e0 != e1  # fresh permutation per pass
+
+
 def test_bucket_batcher_sharded(rng, tiny_cfg):
     items = _make_items(rng, 10)
     cfg = dict(tiny_cfg)

@@ -1,5 +1,7 @@
 """End-to-end pipeline tests: binarize -> dataset -> (tiny) inference."""
 
+import contextlib
+import io
 import json
 import os
 
@@ -206,6 +208,19 @@ def test_cli_end_to_end(tmp_path, rng, monkeypatch):
     rows = [_json.loads(l) for l in lines]
     assert any(r["prefix"] == "valid" for r in rows)
     assert all(np.isfinite(r.get("total_loss", 0.0)) for r in rows)
+
+    # the CLI path must engage the scan dispatcher too: EpochBatches is
+    # finite per pass, so _stack_batches can materialize the epoch instead
+    # of draining an endless stream into the budget bail-out
+    capture = io.StringIO()
+    monkeypatch.setattr(sys, "argv", [
+        "run", "train", "--exp_name", "tiny_spd",
+        "--hparams", overrides + ",steps_per_dispatch=2",
+        "--work_dir_root", str(tmp_path / "ckpts")])
+    with contextlib.redirect_stdout(capture):
+        cli.main()
+    assert "device-resident" in capture.getvalue()
+    assert os.path.exists(tmp_path / "ckpts" / "tiny_spd" / "metrics.jsonl")
 
     # test mode: restore the checkpoint and synthesize the test split
     monkeypatch.setattr(sys, "argv", [

@@ -652,13 +652,15 @@ def test_scan_dispatch_matches_per_step(tmp_path, tiny_cfg, rng):
 
     # tolerance note: scan-vs-unrolled compilation reorders float reductions
     # and adam amplifies near-zero-grad leaves to ~lr-scale sign flips
-    # (measured: median leaf absmax 6e-7, worst 1.4e-4 after 6 steps); a
-    # schedule/rng/phase bug diverges at O(1), far beyond these bounds
+    # (measured: median leaf absmax 6e-7, worst 1.4e-4 after 6 steps on one
+    # machine, 6.6e-4 on another — codegen differs with host CPU features);
+    # a schedule/rng/phase bug diverges at O(1), far beyond these bounds,
+    # and the aggregate relative-distance check below is the tight gate
     got = jax.tree_util.tree_leaves(state_scan.params)
     want = jax.tree_util.tree_leaves(state.params)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                   rtol=5e-3, atol=5e-4)
+                                   rtol=5e-3, atol=2e-3)
     num = sum(float(np.sum((np.asarray(g) - np.asarray(w)) ** 2))
               for g, w in zip(got, want))
     den = sum(float(np.sum(np.asarray(w) ** 2)) for w in want)

@@ -16,10 +16,9 @@ import argparse
 import json
 import os
 import subprocess
-import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # artifact name -> path candidates relative to --dir
 ARTIFACTS = {
@@ -43,7 +42,8 @@ def main():
     args = ap.parse_args()
 
     rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                         capture_output=True, text=True).stdout.strip()
+                         capture_output=True, text=True,
+                         cwd=REPO_ROOT).stdout.strip()
     os.makedirs(args.out, exist_ok=True)
     n = 0
     for name, cands in ARTIFACTS.items():

@@ -221,13 +221,7 @@ def main():
 
     trainer = Trainer(model, cfg, work_dir)
     if not args.eval_only:
-        def endless():
-            epoch = 0
-            while True:
-                bb = BucketBatcher(train_ds, cfg, shuffle=True,
-                                   seed=cfg["seed"])
-                yield from bb.batches(epoch)
-                epoch += 1
+        from stylesinger_tpu.data import EpochBatches
 
         def valid_batches():
             bb = BucketBatcher(valid_ds, cfg, shuffle=False,
@@ -235,19 +229,9 @@ def main():
                                max_sentences=cfg["max_valid_sentences"])
             return bb.batches(0)
 
-        class EpochBatches:
-            """Finite re-iterable epoch (fixed order) for the scan
-            dispatcher: Trainer._stack_batches uploads it once and
-            reshuffles batch order per epoch itself."""
-
-            def __iter__(self):
-                bb = BucketBatcher(train_ds, cfg, shuffle=True,
-                                   seed=cfg["seed"])
-                return iter(bb.batches(0))
-
-        source = (EpochBatches()
-                  if int(cfg.get("steps_per_dispatch", 1)) > 1
-                  else endless())
+        # re-iterable per-epoch source: the scan dispatcher materializes
+        # one epoch; the streaming fallback reshuffles every pass
+        source = EpochBatches(train_ds, cfg)
         t0 = time.time()
         from stylesinger_tpu.training.trainer import HostMemoryExceeded
         try:
