@@ -1,0 +1,50 @@
+#!/bin/bash
+# Babysit a long TPU training run driven by tools/r4_train_acoustic.sh:
+# a remote-PJRT RPC can wedge forever (process alive, futex-wait, no
+# metrics progress) when the tunnel connection drops — the in-script
+# restart loop only handles processes that EXIT. This watchdog restarts
+# the run when the metrics file goes stale while the trainer is alive.
+#
+# Kill order matters: the WRAPPER first (so its rc!=75 fatal branch never
+# prints "training failed with rc=" into the log the evidence chain
+# greps), then the python child. PID-file based — never kills by pattern.
+#
+# Usage: bash tools/stall_watchdog.sh [log=/tmp/r4_acoustic.log]
+#   [pidfile=/tmp/r4_acoustic.pid] [metrics=data/r4full/work/metrics.jsonl]
+#   [steps=320000] [dir=data/r4full] [stale_s=900]
+set -u
+cd "$(dirname "$0")/.."
+
+LOG="${1:-/tmp/r4_acoustic.log}"
+PIDFILE="${2:-/tmp/r4_acoustic.pid}"
+METRICS="${3:-data/r4full/work/metrics.jsonl}"
+STEPS="${4:-320000}"
+DIR="${5:-data/r4full}"
+STALE="${6:-900}"
+
+while true; do
+  sleep 120
+  grep -q "acoustic ${STEPS}-step run complete" "$LOG" 2>/dev/null && exit 0
+  grep -q "training failed with rc=" "$LOG" 2>/dev/null && exit 1
+  pid=$(cat "$PIDFILE" 2>/dev/null) || continue
+  kill -0 "$pid" 2>/dev/null || exit 0  # wrapper exited; its loop/chain owns it
+  [ -f "$METRICS" ] || continue
+  age=$(( $(date +%s) - $(stat -c %Y "$METRICS") ))
+  if [ "$age" -gt "$STALE" ]; then
+    echo "== stall_watchdog: metrics stale ${age}s; restarting run" >> "$LOG"
+    children=$(ps -o pid= --ppid "$pid")
+    kill -9 "$pid" 2>/dev/null
+    sleep 1
+    for c in $children; do
+      kill -9 "$c" 2>/dev/null
+      # python may be a grandchild (under `timeout`): sweep one level down
+      for g in $(ps -o pid= --ppid "$c" 2>/dev/null); do
+        kill -9 "$g" 2>/dev/null
+      done
+    done
+    sleep 3
+    nohup bash tools/r4_train_acoustic.sh "$STEPS" "$DIR" >> "$LOG" 2>&1 &
+    echo $! > "$PIDFILE"
+    sleep 300  # give the restart time to compile before re-checking
+  fi
+done
