@@ -23,8 +23,7 @@ import numpy as np
 
 
 def main(batch: int = 1, metric: str = "e2e_rtf", cpu_fallback: bool = False,
-         fallback_note: str = "", include_train: bool = False,
-         **cfg_overrides) -> None:
+         fallback_note: str = "", **cfg_overrides) -> None:
     """Zero-shot transfer RTF at ``batch`` concurrent utterances (batch>1 =
     BASELINE config 5 serving throughput; reported per utterance).
     ``cfg_overrides`` are forwarded to load_config (e.g. pndm_speedup=5)."""
@@ -161,8 +160,6 @@ def main(batch: int = 1, metric: str = "e2e_rtf", cpu_fallback: bool = False,
             "TPU tunnel unavailable at bench time; reduced CPU-host "
             "fallback measurement — NOT comparable to the TPU "
             "baseline (see BENCH history for TPU numbers)")
-    if include_train and not cpu_fallback:
-        row.update(_train_throughput_row())
     print(json.dumps(row))
 
 
@@ -207,7 +204,7 @@ def run_resilient() -> None:
     from stylesinger_tpu.utils.backend import probe_device_backend
 
     if os.environ.get("BENCH_INNER") == "1":
-        main(include_train=True)
+        main()
         return
     backend = probe_device_backend()
     if backend == "cpu":
@@ -230,7 +227,12 @@ def run_resilient() -> None:
             line = next((ln for ln in r.stdout.splitlines()
                          if ln.startswith("{")), None)
             if r.returncode == 0 and line:
-                print(line)
+                # train probe runs AFTER the inner process exits: a live
+                # jax client would hold the single-client tunnel and the
+                # child's backend init would hang until its timeout
+                row = json.loads(line)
+                row.update(_train_throughput_row())
+                print(json.dumps(row))
                 return
             sys.stderr.write(f"| device bench rc={r.returncode}; "
                              "falling back to reduced CPU config\n")

@@ -528,11 +528,41 @@ def load_pwg_checkpoint(ckpt_path: str, stats_path: Optional[str] = None,
     stats = (_load_feature_stats(stats_path)
              if official and stats_path and os.path.exists(stats_path)
              else None)
-    layers = int(gen_params.get("layers", 30))
-    n_scales = len(gen_params.get("upsample_params", {}).get(
-        "upsample_scales", [4, 4, 4, 4]))
-    return convert_pwg(sd, layers=layers, n_scales=n_scales), stats, \
-        gen_params
+    # Structural hyperparameters are read from the WEIGHTS THEMSELVES
+    # (vocoders/pwg.py:24-30 rebuild-from-ckpt semantics): custom task
+    # checkpoints often ship no config.yml, and a stale/wrong yaml must
+    # not mis-shape the generator. config.yml still supplies what shapes
+    # cannot encode (stacks — the dilation schedule leaves no trace in
+    # the kernel shapes).
+    gen_params["layers"] = len(
+        {k.split(".")[1] for k in sd if k.startswith("conv_layers.")})
+    up_idx = sorted({int(k.split(".")[3]) for k in sd
+                     if k.startswith("upsample_net.upsample.up_layers.")})
+    if up_idx:
+        up = dict(gen_params.get("upsample_params", {}))
+        # upsample Conv2d kernel is (freq_k, 2*scale+1) (layers/upsample.py)
+        up["upsample_scales"] = [
+            (int(_wn_weight(
+                sd, f"upsample_net.upsample.up_layers.{i}").shape[-1]) - 1)
+            // 2 for i in up_idx]
+        gen_params["upsample_params"] = up
+    gen_params["residual_channels"] = int(_wn_weight(
+        sd, "first_conv").shape[0])
+    gen_params["gate_channels"] = int(_wn_weight(
+        sd, "conv_layers.0.conv").shape[0])
+    gen_params["skip_channels"] = int(_wn_weight(
+        sd, "conv_layers.0.conv1x1_skip").shape[0])
+    # conv_in kernel is 2*aux_context_window+1 (layers/upsample.py:155)
+    gen_params.setdefault("upsample_params", {})["aux_context_window"] = (
+        int(_wn_weight(sd, "upsample_net.conv_in").shape[-1]) - 1) // 2
+    # pitch conditioning likewise: the reference's SVS configs carry
+    # use_pitch_embed at the hparams top level (outside generator_params);
+    # missing it would silently drop the pitch input (flax ignores extra
+    # params) and degrade audio with no error
+    gen_params["use_pitch_embed"] = any(
+        k.startswith("pitch_embed.") for k in sd)
+    return convert_pwg(sd, layers=gen_params["layers"],
+                       n_scales=len(up_idx)), stats, gen_params
 
 
 def _generator_sd(ckpt, ckpt_path: str = "<ckpt>"):

@@ -885,3 +885,56 @@ def test_melgan_wrapper_trained_path(hp, rng, tmp_path):
         want = ref(_t(((mel - mean) / scale)[None].transpose(
             0, 2, 1))).numpy()[0, 0]
     _close(wav, want, atol=1e-4, rtol=1e-3)
+
+
+def test_pwg_wrapper_detects_pitch_embed_from_weights(hp, rng, tmp_path):
+    """A pitch-conditioned PWG saved as a CUSTOM task checkpoint (no
+    config.yml, model_gen.* layout) must come back pitch-conditioned: the
+    wrapper detects pitch_embed from the state_dict itself. A config-less
+    load that silently dropped the pitch input would run the generator on
+    the raw mel with no error (flax ignores extra params)."""
+    from modules.parallel_wavegan.models.parallel_wavegan import (
+        ParallelWaveGANGenerator as RefPWG,
+    )
+
+    from stylesinger_tpu.dsp.pitch import f0_to_coarse
+    from stylesinger_tpu.vocoder_infer import PWG
+
+    torch.manual_seed(6)
+    aux, t_mel = 16, 10
+    ref = RefPWG(layers=6, stacks=3, residual_channels=8,
+                 gate_channels=16, skip_channels=8, aux_channels=aux,
+                 aux_context_window=2, use_pitch_embed=True,
+                 upsample_params={"upsample_scales": [4, 4]}).eval()
+    torch.save(
+        {"state_dict": {f"model_gen.{k}": v
+                        for k, v in ref.state_dict().items()}},
+        str(tmp_path / "model_ckpt_steps_50000.ckpt"))
+
+    cfg = dict(TINY_HPARAMS)
+    cfg.update(audio_num_mel_bins=aux, hop_size=16,
+               pwg_layers=6, pwg_stacks=3, pwg_residual_channels=8,
+               pwg_gate_channels=16, pwg_skip_channels=8,
+               pwg_aux_context_window=2,
+               pwg_upsample_scales=(4, 4),
+               vocoder_ckpt=str(tmp_path))
+    voc = PWG(cfg)
+    assert voc.model.use_pitch_embed  # detected from the weights
+    assert voc.stats is None  # custom ckpt: no feature-stats normalization
+    mel = rng.standard_normal((t_mel, aux)).astype(np.float32)
+    f0 = rng.uniform(80.0, 400.0, t_mel).astype(np.float32)
+    wav = voc.spec2wav(mel, f0=f0)
+    assert wav.shape == (t_mel * 16,)
+    # the pitch input actually feeds the graph (a dropped input would make
+    # these identical)...
+    wav2 = voc.spec2wav(mel, f0=f0 * 2.0)
+    assert not np.allclose(wav, wav2)
+    # ...and the wrapper wires exactly the converted params + coarse f0
+    # (numerical parity of the converted module vs torch is
+    # test_pwg_parity_pitch_embed)
+    pitch = np.asarray(f0_to_coarse(jnp.asarray(f0)))[None]
+    want = np.asarray(voc.model.apply(
+        {"params": voc.params}, jnp.asarray(mel)[None],
+        pitch=jnp.asarray(pitch),
+        rngs={"noise": jax.random.PRNGKey(0)}))[0]
+    _close(wav, want, atol=1e-6, rtol=1e-6)

@@ -80,8 +80,11 @@ echo "== e2e: 320k acoustic + 100k vocoder"
 # validate_e2e reads the acoustic ckpt from <dir>/work and the trained
 # generator from <dir>/work_vocoder; point the run dir's work_vocoder at
 # the GAN run's output
-if [ ! -e "$DIR/work_vocoder" ]; then
-  ln -s "$(cd "$VDIR" && pwd)/work_vocoder" "$DIR/work_vocoder"
+# repoint a stale/broken symlink from any previous run (a silently-kept
+# old link would score the acoustic model against the wrong vocoder);
+# only a REAL directory (an in-dir vocoder run) is kept as-is
+if [ -L "$DIR/work_vocoder" ] || [ ! -e "$DIR/work_vocoder" ]; then
+  ln -sfn "$(cd "$VDIR" && pwd)/work_vocoder" "$DIR/work_vocoder"
 fi
 timeout 3600 python tools/validate_e2e.py --dir "$DIR" \
   --steps "$STEPS" || true

@@ -21,6 +21,12 @@ for attempt in $(seq 1 100); do
   timeout 21600 python tools/validate_vocoder.py --dir "$DIR" \
     --steps "$STEPS" --spd 50 || rc=$?
   if [ "$rc" -eq 0 ]; then break; fi
+  # resume only the recoverable exits: 75 (RSS watchdog checkpoint+exit)
+  # and 124 (wall-clock timeout above). A deterministic failure must be
+  # fatal, not retried 100 times (ADVICE r3 fall-through lesson).
+  if [ "$rc" -ne 75 ] && [ "$rc" -ne 124 ]; then
+    echo "vocoder training failed with rc=$rc"; exit "$rc"
+  fi
   echo "== vocoder run interrupted rc=$rc (restart $attempt); resuming"
 done
 if [ "$rc" -ne 0 ]; then

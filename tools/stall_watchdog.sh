@@ -32,6 +32,10 @@ while true; do
   age=$(( $(date +%s) - $(stat -c %Y "$METRICS") ))
   if [ "$age" -gt "$STALE" ]; then
     echo "== stall_watchdog: metrics stale ${age}s; restarting run" >> "$LOG"
+    # freeze the wrapper FIRST so it cannot spawn a fresh python between
+    # the child snapshot and the kill (an orphaned second trainer would
+    # clobber checkpoints and contend for the single-client tunnel)
+    kill -STOP "$pid" 2>/dev/null
     children=$(ps -o pid= --ppid "$pid")
     kill -9 "$pid" 2>/dev/null
     sleep 1
@@ -45,6 +49,10 @@ while true; do
     sleep 3
     nohup bash tools/r4_train_acoustic.sh "$STEPS" "$DIR" >> "$LOG" 2>&1 &
     echo $! > "$PIDFILE"
+    # reset the staleness clock: the restart's first metrics write can be
+    # a full cold compile away; without this the old mtime re-triggers a
+    # kill-loop every cycle
+    touch "$METRICS" 2>/dev/null
     sleep 300  # give the restart time to compile before re-checking
   fi
 done

@@ -113,7 +113,7 @@ def main():
         print(f"| GAN scan dispatch: corpus {mb:.0f} MB device-resident, "
               f"{args.spd} steps/dispatch")
         scan_steps = make_vocoder_scan(cfg)
-        i, t_log = start, time.time()
+        i, t_log, i_log = start, time.time(), start
         while i < args.steps:
             w = min(args.spd, args.steps - i, 500 - i % 500)
             state, m = scan_steps(state, jdata, key, w,
@@ -123,9 +123,9 @@ def main():
                 msg = {k2: round(float(np.asarray(v).mean()), 4)
                        for k2, v in m.items()}
                 print(f"| step {i}: {msg} "
-                      f"({500 / max(time.time() - t_log, 1e-9):.1f} "
+                      f"({(i - i_log) / max(time.time() - t_log, 1e-9):.1f} "
                       "steps/s)", flush=True)
-                t_log = time.time()
+                t_log, i_log = time.time(), i
             if i % 5000 == 0:
                 save_state(state)
     else:
