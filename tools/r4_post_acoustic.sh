@@ -59,7 +59,12 @@ fi
 # warm cache (or give up after 4h and reclaim the chip for the gates).
 echo "== yielding the chip until BENCH_r04.json appears (max 4h)"
 for i in $(seq 1 240); do
-  [ -f BENCH_r04.json ] && { echo "BENCH_r04.json landed"; break; }
+  if [ -f BENCH_r04.json ]; then
+    echo "BENCH_r04.json landed; +45 min grace for the driver's entry()"
+    echo "   compile-check (cold flagship compile through the tunnel)"
+    sleep 2700
+    break
+  fi
   sleep 60
 done
 
