@@ -12,6 +12,12 @@
 # Usage: bash tools/stall_watchdog.sh [log=/tmp/r4_acoustic.log]
 #   [pidfile=/tmp/r4_acoustic.pid] [metrics=data/r4full/work/metrics.jsonl]
 #   [steps=320000] [dir=data/r4full] [stale_s=900]
+#
+# Env overrides generalize it to any wrapped run (e.g. the vocoder GAN
+# stage, whose heartbeat is its own log file):
+#   DONE_RE / FAIL_RE  - completion / fatal-failure markers grepped in LOG
+#   RESTART_CMD        - command restarted on staleness (>> LOG, pid ->
+#                        PIDFILE)
 set -u
 cd "$(dirname "$0")/.."
 
@@ -21,11 +27,14 @@ METRICS="${3:-data/r4full/work/metrics.jsonl}"
 STEPS="${4:-320000}"
 DIR="${5:-data/r4full}"
 STALE="${6:-900}"
+DONE_RE="${DONE_RE:-acoustic ${STEPS}-step run complete}"
+FAIL_RE="${FAIL_RE:-training failed with rc=}"
+RESTART_CMD="${RESTART_CMD:-bash tools/r4_train_acoustic.sh $STEPS $DIR}"
 
 while true; do
   sleep 120
-  grep -q "acoustic ${STEPS}-step run complete" "$LOG" 2>/dev/null && exit 0
-  grep -q "training failed with rc=" "$LOG" 2>/dev/null && exit 1
+  grep -q "$DONE_RE" "$LOG" 2>/dev/null && exit 0
+  grep -q "$FAIL_RE" "$LOG" 2>/dev/null && exit 1
   pid=$(cat "$PIDFILE" 2>/dev/null) || continue
   kill -0 "$pid" 2>/dev/null || exit 0  # wrapper exited; its loop/chain owns it
   [ -f "$METRICS" ] || continue
@@ -47,7 +56,7 @@ while true; do
       done
     done
     sleep 3
-    nohup bash tools/r4_train_acoustic.sh "$STEPS" "$DIR" >> "$LOG" 2>&1 &
+    nohup $RESTART_CMD >> "$LOG" 2>&1 &
     echo $! > "$PIDFILE"
     # reset the staleness clock: the restart's first metrics write can be
     # a full cold compile away; without this the old mtime re-triggers a
