@@ -266,6 +266,11 @@ DEFAULTS: Dict[str, Any] = dict(
     # XLA conv tiling collapses on one huge spatial dim with few channels,
     # blocked application is ~3x faster and numerically identical
     mrf_block=2048,
+    # fuse each blocked MRF group into one Pallas kernel (ops/
+    # mrf_pallas.py: polyphase + output-packed matmuls, whole group in
+    # VMEM) on stages with <=128 channels; param tree identical to the
+    # flax path so checkpoints serve both
+    mrf_pallas=False,
     # conv compute dtype for the vocoder generator (params stay fp32)
     vocoder_compute_dtype="float32",
     # strided F0 sampler: 1 = reference-parity 100-step ancestral; >1 takes

@@ -178,6 +178,39 @@ class ResBlock2(nn.Module):
         return (kernel_size - 1) // 2 * sum(dilations)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only twin of an ``nn.Conv`` (same names/shapes/init), so
+    the Pallas MRF path shares checkpoints with the flax path."""
+    kernel_size: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kern = self.param("kernel", _conv_init,
+                          (self.kernel_size, self.features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kern, bias
+
+
+class _ResBlockParams(nn.Module):
+    """Declares exactly the ResBlock1 parameter tree (conv1_i / conv2_i)
+    and returns the raw weights for the fused Pallas kernel."""
+    channels: int
+    kernel_size: int
+    dilations: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        out = []
+        for i in range(len(self.dilations)):
+            w1 = _ConvParams(self.kernel_size, self.channels,
+                             name=f"conv1_{i}")()
+            w2 = _ConvParams(self.kernel_size, self.channels,
+                             name=f"conv2_{i}")()
+            out.append((w1, w2))
+        return out
+
+
 def _blockify(x: jnp.ndarray, block: int, halo: int
               ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """[B, T, C] -> ([B*nb, block+2*halo, C], valid-mask, T).
@@ -275,6 +308,27 @@ class HifiGanGenerator(nn.Module):
                                   name=f"noise_conv_{i}")(har_source)
                 x = x + src
 
+            blocked = bool(mrf_block) and x.shape[1] >= 2 * mrf_block
+            # Pallas-fused MRF (ops/mrf_pallas.py): inference-length
+            # buffers on the small-channel stages, where XLA's per-conv
+            # lowering wastes both HBM round-trips and MXU lanes. Param
+            # tree is identical to the ResBlock1 path (checkpoints and
+            # converters work for both).
+            use_pallas = (blocked and c.get("mrf_pallas", False)
+                          and resblock_cls is ResBlock1 and c_cur <= 128)
+            if use_pallas:
+                from stylesinger_tpu.ops.mrf_pallas import fused_mrf_blocks
+                weights = [_ResBlockParams(c_cur, rkj, rdj,
+                                           name=f"resblock_{i}_{j}")()
+                           for j, (rkj, rdj) in enumerate(zip(rk, rd))]
+                bsz = x.shape[0]
+                xb, mask, t_true = _blockify(x, mrf_block, mrf_halo)
+                yb = fused_mrf_blocks(
+                    xb, mask, weights, kernels=rk, dilations=rd,
+                    block=mrf_block, halo=mrf_halo, compute_dtype=dtype)
+                x = _unblockify(yb, bsz, mrf_block, 0, t_true)
+                continue
+
             blocks = [resblock_cls(c_cur, rkj, rdj, dtype=dtype,
                                    name=f"resblock_{i}_{j}")
                       for j, (rkj, rdj) in enumerate(zip(rk, rd))]
@@ -286,7 +340,7 @@ class HifiGanGenerator(nn.Module):
                     acc = y if acc is None else acc + y
                 return acc / len(_blocks)
 
-            if mrf_block and x.shape[1] >= 2 * mrf_block:
+            if blocked:
                 bsz = x.shape[0]
                 xb, mask, t_true = _blockify(x, mrf_block, mrf_halo)
                 x = _unblockify(mrf(xb, mask), bsz, mrf_block, mrf_halo,

@@ -552,3 +552,26 @@ def test_stylesinger_infer_dpm_steps(ss_setup):
         b["note_type"], infer=True, use_diff=True, max_frames=48,
         rngs={"diffusion": KEY, "rq": KEY})
     assert np.isfinite(np.asarray(ret["mel_out"])).all()
+
+
+def test_hifigan_mrf_pallas_matches_flax(tiny_cfg):
+    """mrf_pallas=True (fused Pallas MRF stages) must reproduce the flax
+    blocked path from the SAME variables — the param trees are declared
+    identically, so checkpoints/converters serve both paths."""
+    cfg = dict(tiny_cfg)
+    cfg.update(upsample_rates=(4, 4, 2, 2), upsample_kernel_sizes=(8, 8, 4, 4),
+               upsample_initial_channel=64, mrf_block=128)
+    mel = jax.random.normal(KEY, (2, 64, 80))
+    f0 = jnp.full((2, 64), 220.0)
+    flax_gen = HifiGanGenerator(cfg)
+    variables = flax_gen.init(ALL_RNGS, mel, f0)
+    w_flax = flax_gen.apply(variables, mel, f0, rngs={"noise": KEY})
+
+    cfg_p = dict(cfg, mrf_pallas=True)
+    pallas_gen = HifiGanGenerator(cfg_p)
+    v_p = pallas_gen.init(ALL_RNGS, mel, f0)
+    assert jax.tree_util.tree_structure(v_p) == \
+        jax.tree_util.tree_structure(variables)
+    w_pallas = pallas_gen.apply(variables, mel, f0, rngs={"noise": KEY})
+    np.testing.assert_allclose(np.asarray(w_pallas), np.asarray(w_flax),
+                               atol=3e-5)

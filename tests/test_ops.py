@@ -25,3 +25,37 @@ def test_mel_pallas_small_input(rng):
                              fmax=12000.0))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=3e-3, rtol=2e-3)
+
+
+def test_mrf_pallas_matches_flax_resblocks(rng):
+    """Fused Pallas MRF group == blocked flax ResBlock1 path (same
+    weights, same overlap-save blocks/masks)."""
+    import jax
+
+    from stylesinger_tpu.models.hifigan import ResBlock1, _blockify
+    from stylesinger_tpu.ops.mrf_pallas import fused_mrf_blocks
+
+    c, block = 16, 64
+    rk, rd = (3, 7, 11), ((1, 3, 5),) * 3
+    halo = max(ResBlock1.halo(k, d) for k, d in zip(rk, rd))
+    x = jnp.asarray(rng.standard_normal((1, 150, c)).astype(np.float32))
+    xb, mask, t = _blockify(x, block, halo)
+
+    key = jax.random.PRNGKey(0)
+    blocks = [ResBlock1(c, k, d) for k, d in zip(rk, rd)]
+    variables = [b.init(key, xb, mask) for b in blocks]
+    ref = sum(np.asarray(b.apply(v, xb, mask))
+              for b, v in zip(blocks, variables)) / len(blocks)
+    ref = ref[:, halo:halo + block]  # kernel output is halo-cropped
+
+    weights = []
+    for v, d in zip(variables, rd):
+        p = v["params"]
+        weights.append([((p[f"conv1_{i}"]["kernel"], p[f"conv1_{i}"]["bias"]),
+                         (p[f"conv2_{i}"]["kernel"], p[f"conv2_{i}"]["bias"]))
+                        for i in range(len(d))])
+    out = np.asarray(fused_mrf_blocks(
+        xb, mask, weights, kernels=rk, dilations=rd, block=block, halo=halo,
+        interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
