@@ -59,3 +59,36 @@ def test_mrf_pallas_matches_flax_resblocks(rng):
         interpret=True))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_mrf_pallas_packing_regimes(rng):
+    """p = 128//C changes the kernel's static structure (no packing at
+    C>=128, 2-way at 64); check both against the flax blocks."""
+    import jax
+
+    from stylesinger_tpu.models.hifigan import ResBlock1, _blockify
+    from stylesinger_tpu.ops.mrf_pallas import fused_mrf_blocks
+
+    for c in (64, 128):
+        block = 32
+        rk, rd = (3, 5), ((1, 2), (1, 3))
+        halo = max(ResBlock1.halo(k, d) for k, d in zip(rk, rd))
+        x = jnp.asarray(rng.standard_normal((2, 70, c)).astype(np.float32))
+        xb, mask, t = _blockify(x, block, halo)
+        key = jax.random.PRNGKey(c)
+        blocks = [ResBlock1(c, k, d) for k, d in zip(rk, rd)]
+        variables = [b.init(key, xb, mask) for b in blocks]
+        ref = sum(np.asarray(b.apply(v, xb, mask))
+                  for b, v in zip(blocks, variables)) / len(blocks)
+        ref = ref[:, halo:halo + block]
+        weights = []
+        for v, d in zip(variables, rd):
+            p = v["params"]
+            weights.append(
+                [((p[f"conv1_{i}"]["kernel"], p[f"conv1_{i}"]["bias"]),
+                  (p[f"conv2_{i}"]["kernel"], p[f"conv2_{i}"]["bias"]))
+                 for i in range(len(d))])
+        out = np.asarray(fused_mrf_blocks(
+            xb, mask, weights, kernels=rk, dilations=rd, block=block,
+            halo=halo, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
