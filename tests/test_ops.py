@@ -92,3 +92,44 @@ def test_mrf_pallas_packing_regimes(rng):
             xb, mask, weights, kernels=rk, dilations=rd, block=block,
             halo=halo, interpret=True))
         np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_mrf_pallas_bf16_precision(rng):
+    """bf16 kernel error vs the f32 path must stay in the same band as
+    the flax bf16 path's own rounding error (the kernel accumulates
+    matmuls in f32, so it should never be worse)."""
+    import jax
+
+    from stylesinger_tpu.models.hifigan import ResBlock1, _blockify
+    from stylesinger_tpu.ops.mrf_pallas import fused_mrf_blocks
+
+    c, block = 16, 64
+    rk, rd = (3, 7, 11), ((1, 3, 5),) * 3
+    halo = max(ResBlock1.halo(k, d) for k, d in zip(rk, rd))
+    x = jnp.asarray(rng.standard_normal((1, 150, c)).astype(np.float32) * .1)
+    xb, mask, t = _blockify(x, block, halo)
+    key = jax.random.PRNGKey(0)
+    blocks32 = [ResBlock1(c, k, d) for k, d in zip(rk, rd)]
+    blocks16 = [ResBlock1(c, k, d, dtype=jnp.bfloat16)
+                for k, d in zip(rk, rd)]
+    variables = [b.init(key, xb, mask) for b in blocks32]
+    ref32 = sum(np.asarray(b.apply(v, xb, mask))
+                for b, v in zip(blocks32, variables)) / 3
+    ref16 = sum(np.asarray(
+        b.apply(v, xb.astype(jnp.bfloat16),
+                mask.astype(jnp.bfloat16)).astype(jnp.float32))
+        for b, v in zip(blocks16, variables)) / 3
+    weights = []
+    for v, d in zip(variables, rd):
+        p = v["params"]
+        weights.append(
+            [((p[f"conv1_{i}"]["kernel"], p[f"conv1_{i}"]["bias"]),
+              (p[f"conv2_{i}"]["kernel"], p[f"conv2_{i}"]["bias"]))
+             for i in range(len(d))])
+    out16 = np.asarray(fused_mrf_blocks(
+        xb, mask, weights, kernels=rk, dilations=rd, block=block, halo=halo,
+        compute_dtype=jnp.bfloat16, interpret=True)).astype(np.float32)
+    s = slice(halo, halo + block)
+    d_pallas = np.abs(out16 - ref32[:, s]).max()
+    d_flax = np.abs(ref16[:, s] - ref32[:, s]).max()
+    assert d_pallas < max(4 * d_flax, 0.05), (d_pallas, d_flax)
