@@ -29,13 +29,11 @@ def main(batch: int = 1, metric: str = "e2e_rtf", cpu_fallback: bool = False,
     ``cfg_overrides`` are forwarded to load_config (e.g. pndm_speedup=5)."""
     import jax
 
+    from stylesinger_tpu.utils.backend import enable_compile_cache
+
     # persistent compile cache: repeated bench runs skip the ~15 min
     # full-model compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache("/tmp/jax_bench_cache")
     if cpu_fallback:
         # the env-derived platform is locked by the axon sitecustomize;
         # override at the config level (same mechanism as tests/conftest.py)
@@ -157,62 +155,68 @@ def main(batch: int = 1, metric: str = "e2e_rtf", cpu_fallback: bool = False,
         "backend": jax.default_backend()}
     if cpu_fallback:
         row["note"] = fallback_note or (
-            "TPU tunnel unavailable at bench time; reduced CPU-host "
-            "fallback measurement — NOT comparable to the TPU "
-            "baseline (see BENCH history for TPU numbers)")
+            "TPU tunnel unavailable (dead, or held by a long training "
+            "job — single-client tunnel) at bench time; reduced CPU-host "
+            "fallback measurement — NOT comparable to the TPU baseline. "
+            "Tracked same-round TPU measurement: "
+            "results/bench_r4_chain.json")
     print(json.dumps(row))
 
 
-def _extra_rtf_row(field: str, overrides: dict,
+def _check_child_backend(out: dict, field: str, sub: dict,
+                         expect_backend: str) -> None:
+    """Flag a probe whose child ran on a different backend than the
+    headline (the single-client tunnel can die BETWEEN children, silently
+    dropping a later probe to CPU; an unmarked CPU number next to a TPU
+    headline would corrupt the serving latency menu)."""
+    got = sub.get("backend", "")
+    if expect_backend and got and got != expect_backend:
+        out[f"{field}_backend"] = got
+        out[f"{field}_note"] = (
+            f"measured on {got} while the headline ran on "
+            f"{expect_backend} — NOT comparable (tunnel dropped "
+            "mid-bench?)")
+
+
+def _extra_rtf_row(field: str, overrides: dict, expect_backend: str = "",
                    timeout: float = 1800.0) -> dict:
     """Measure one fast-serving configuration (e.g. PLMS-5 + strided F0,
     or DPM-Solver++ 10-NFE) in a time-boxed child so the driver's BENCH
     record carries the quality-gated fast paths too (STATUS round-2/4
     gates; previously builder-reported only). Child process = the
     single-client tunnel is free again once the previous bench exits."""
-    import subprocess
+    from stylesinger_tpu.utils.backend import run_json_child
+
     env = dict(os.environ, BENCH_INNER="1",
                BENCH_OVERRIDES=json.dumps(overrides))
-    try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, timeout=timeout, text=True,
-                           capture_output=True)
-        line = next((ln for ln in r.stdout.splitlines()
-                     if ln.startswith("{")), None)
-        if r.returncode == 0 and line:
-            sub = json.loads(line)
-            return {field: sub["value"],
-                    f"{field}_vs_baseline": sub["vs_baseline"]}
-        return {f"{field}_note": f"rc={r.returncode}"}
-    except subprocess.TimeoutExpired:
-        return {f"{field}_note": f"exceeded {timeout:.0f}s (cold compile)"}
-    except Exception as e:  # never let an extra probe kill the headline
-        return {f"{field}_note": f"failed: {type(e).__name__}"}
+    sub, note = run_json_child(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        timeout=timeout)
+    if sub is None:
+        return {f"{field}_note": note}
+    out = {field: sub["value"], f"{field}_vs_baseline": sub["vs_baseline"]}
+    _check_child_backend(out, field, sub, expect_backend)
+    return out
 
 
-def _train_throughput_row(timeout: float = 2700.0) -> dict:
+def _train_throughput_row(expect_backend: str = "",
+                          timeout: float = 2700.0) -> dict:
     """Time-boxed flagship train-step throughput (bench_train.py) so the
     driver's BENCH record carries a verifiable training number too
     (VERDICT r3 weak #7). Returns extra fields for the headline row."""
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench_train.py"), "float32"],
-            timeout=timeout, text=True, capture_output=True)
-        line = next((ln for ln in r.stdout.splitlines()
-                     if ln.startswith("{")), None)
-        if r.returncode == 0 and line:
-            tr = json.loads(line)
-            return {"train_steps_per_sec": tr["value"],
-                    "train_realtime_factor": tr["vs_baseline"]}
-        return {"train_note": f"bench_train rc={r.returncode}"}
-    except subprocess.TimeoutExpired:
-        return {"train_note": f"bench_train exceeded {timeout:.0f}s "
-                "(cold remote compile); see bench_train.py"}
-    except Exception as e:  # never let the train probe kill the headline
-        return {"train_note": f"bench_train failed: {type(e).__name__}"}
+    from stylesinger_tpu.utils.backend import run_json_child
+
+    tr, note = run_json_child(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench_train.py"), "float32"],
+        timeout=timeout)
+    if tr is None:
+        return {"train_note": f"bench_train {note}"}
+    out = {"train_steps_per_sec": tr["value"],
+           "train_realtime_factor": tr["vs_baseline"]}
+    _check_child_backend(out, "train_steps_per_sec", tr, expect_backend)
+    return out
 
 
 def jnp_full(shape, value):
@@ -261,11 +265,14 @@ def run_resilient() -> None:
                 # quality-gated fast serving paths (results/
                 # acoustic_320k_fast_sampler_gates.json): PLMS-5 mel +
                 # strided F0, and DPM-Solver++(2M) 10-NFE + strided F0
+                hb = row.get("backend", backend)
                 row.update(_extra_rtf_row(
-                    "fast_rtf", {"pndm_speedup": 5, "f0_speedup": 5}))
+                    "fast_rtf", {"pndm_speedup": 5, "f0_speedup": 5},
+                    expect_backend=hb))
                 row.update(_extra_rtf_row(
-                    "dpm10_rtf", {"dpm_steps": 10, "f0_speedup": 5}))
-                row.update(_train_throughput_row())
+                    "dpm10_rtf", {"dpm_steps": 10, "f0_speedup": 5},
+                    expect_backend=hb))
+                row.update(_train_throughput_row(expect_backend=hb))
                 print(json.dumps(row))
                 return
             sys.stderr.write(f"| device bench rc={r.returncode}; "

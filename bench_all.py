@@ -39,12 +39,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from stylesinger_tpu.utils.backend import enable_compile_cache
+
     # persistent compile cache shared with bench.py
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache("/tmp/jax_bench_cache")
 
     from stylesinger_tpu.config import load_config
     from stylesinger_tpu.dsp.cwt import cwt_mexican_hat

@@ -25,11 +25,9 @@ def main(compute_dtype: str = "float32", batch_size: int = 8,
          frames: int = 1024) -> None:
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from stylesinger_tpu.utils.backend import enable_compile_cache
+
+    enable_compile_cache("/tmp/jax_bench_cache")
 
     import jax.numpy as jnp
 
@@ -103,7 +101,8 @@ def main(compute_dtype: str = "float32", batch_size: int = 8,
     print(json.dumps({
         "metric": f"train_steps_per_sec_{compute_dtype}",
         "value": round(steps_per_sec, 2), "unit": "steps/s",
-        "vs_baseline": round(realtime, 1)}))
+        "vs_baseline": round(realtime, 1),
+        "backend": jax.default_backend()}))
 
 
 if __name__ == "__main__":

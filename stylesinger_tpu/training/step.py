@@ -58,6 +58,17 @@ def phase_for_step(step: int, cfg: Any) -> Phase:
     )
 
 
+def phase_boundaries(cfg: Any) -> tuple:
+    """Steps at which ``phase_for_step`` changes value — the scan
+    dispatcher clips its windows to these so every step in a window runs
+    under one static Phase. Single source of truth shared with
+    ``Trainer._window_len``: a curriculum knob added to ``phase_for_step``
+    MUST add its flip point here, or windows silently straddle the flip."""
+    return (cfg["forcing"],            # forcing: step < forcing
+            cfg["rq_start"] + 1,       # use_rq: step > rq_start
+            cfg["diff_start"] + 1)     # use_diff: step > diff_start
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any

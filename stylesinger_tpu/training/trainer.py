@@ -32,7 +32,7 @@ from stylesinger_tpu.training.checkpoint import CheckpointManager
 from stylesinger_tpu.training.schedules import check_diff_start_lr
 from stylesinger_tpu.training.step import (
     Phase, init_state, make_eval_step, make_train_scan, make_train_step,
-    phase_for_step,
+    phase_boundaries, phase_for_step,
 )
 
 
@@ -535,8 +535,7 @@ class Trainer:
         w = min(int(c.get("steps_per_dispatch", 1)), max_updates - step)
         for interval in (c["tb_log_interval"], c["val_check_interval"]):
             w = min(w, interval - step % interval)
-        # phase_for_step flips at forcing, rq_start+1, diff_start+1
-        for b in (c["forcing"], c["rq_start"] + 1, c["diff_start"] + 1):
+        for b in phase_boundaries(c):
             if b > step:
                 w = min(w, b - step)
         return max(w, 1)
@@ -587,16 +586,18 @@ class Trainer:
         single on-device `jnp.stack` collapses the whole window into one
         array pull."""
         keys = sorted(window_losses)
-        # entries are scalars (per-step dispatch) or [W] vectors (scan
-        # dispatch); flatten both into one on-device concat
-        flat = [jnp.atleast_1d(jnp.asarray(v, jnp.float32))
-                for k in keys for v in window_losses[k]]
-        sizes = [int(v.shape[0]) for v in flat]
+        raw = [v for k in keys for v in window_losses[k]]
         try:
+            # entries are scalars (per-step dispatch) or [W] vectors (scan
+            # dispatch); flatten both into one on-device concat
+            flat = [jnp.atleast_1d(jnp.asarray(v, jnp.float32))
+                    for v in raw]
+            sizes = [int(v.shape[0]) for v in flat]
             vals = np.asarray(jnp.concatenate(flat))
-        except Exception:  # host-only values: fall back per-scalar
-            vals = np.concatenate([np.atleast_1d(
-                np.asarray(v, np.float32)) for v in flat])
+        except Exception:  # host-only/ragged values: fall back per-scalar
+            flat = [np.atleast_1d(np.asarray(v, np.float32)) for v in raw]
+            sizes = [int(v.shape[0]) for v in flat]
+            vals = np.concatenate(flat)
         logged, i, j = {}, 0, 0
         for k in keys:
             n = sum(sizes[j:j + len(window_losses[k])])

@@ -13,6 +13,43 @@ import sys
 import time
 
 
+def enable_compile_cache(path: str) -> None:
+    """Point JAX's persistent compilation cache at ``path`` (best-effort —
+    older jax builds lack the knobs). One shared helper for every bench /
+    entry-point script: cold flagship compiles are ~15-25 min through the
+    remote-PJRT tunnel (and ~13 min on the 1-core CPU host), warm loads
+    are seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def run_json_child(argv, env=None, timeout: float = 1800.0):
+    """Spawn ``argv``, capture output, and parse the first stdout line that
+    looks like a JSON object. Returns ``(row, note)`` — exactly one is
+    non-None; ``note`` is a short human-readable failure reason. Never
+    raises: bench probes must not kill the headline row."""
+    import json
+
+    try:
+        r = subprocess.run(argv, env=env, timeout=timeout, text=True,
+                           capture_output=True)
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            return json.loads(line), None
+        return None, f"rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        return None, f"exceeded {timeout:.0f}s (cold compile)"
+    except Exception as e:
+        return None, f"failed: {type(e).__name__}"
+
+
 def probe_device_backend(timeout_s: int = 240, attempts: int = 2,
                          log=None) -> str:
     """Initialize the default JAX backend in a subprocess and return its

@@ -238,7 +238,19 @@ class PWG(BaseVocoder):
 
         self.cfg = cfg
         self.stats = None
-        gen_kw: Dict[str, Any] = {}
+        # cfg-level architecture hints (the reference's custom task
+        # checkpoints carry their generator dims in the experiment hparams,
+        # not a config.yaml — vocoders/pwg.py:24-30); checkpoint-derived
+        # values overlay these below, weights win over everything
+        gen_kw: Dict[str, Any] = {
+            "layers": int(cfg.get("pwg_layers", 30)),
+            "stacks": int(cfg.get("pwg_stacks", 3)),
+            "residual_channels": int(cfg.get("pwg_residual_channels", 64)),
+            "gate_channels": int(cfg.get("pwg_gate_channels", 128)),
+            "skip_channels": int(cfg.get("pwg_skip_channels", 64)),
+            "aux_context_window": int(cfg.get("pwg_aux_context_window", 2)),
+            "use_pitch_embed": bool(cfg.get("pwg_use_pitch_embed", False)),
+        }
         if params is None:
             ckpt, stats_p, cfg_p = _find_legacy_ckpt(
                 cfg.get("vocoder_ckpt", ""))
@@ -247,20 +259,31 @@ class PWG(BaseVocoder):
                 variables, self.stats, gp = load_pwg_checkpoint(
                     ckpt, stats_path=stats_p, config_path=cfg_p)
                 params = variables["params"]
-                gen_kw = {
-                    "layers": int(gp.get("layers", 30)),
-                    "stacks": int(gp.get("stacks", 3)),
+                gen_kw.update({
+                    "layers": int(gp.get("layers", gen_kw["layers"])),
+                    "stacks": int(gp.get("stacks", gen_kw["stacks"])),
                     "residual_channels": int(gp.get(
-                        "residual_channels", 64)),
-                    "gate_channels": int(gp.get("gate_channels", 128)),
-                    "skip_channels": int(gp.get("skip_channels", 64)),
+                        "residual_channels", gen_kw["residual_channels"])),
+                    "gate_channels": int(gp.get(
+                        "gate_channels", gen_kw["gate_channels"])),
+                    "skip_channels": int(gp.get(
+                        "skip_channels", gen_kw["skip_channels"])),
                     "aux_context_window": int(gp.get(
                         "upsample_params", {}).get(
                         "aux_context_window",
-                        gp.get("aux_context_window", 2))),
+                        gp.get("aux_context_window",
+                               gen_kw["aux_context_window"]))),
                     "use_pitch_embed": bool(gp.get(
-                        "use_pitch_embed", False)),
-                }
+                        "use_pitch_embed", gen_kw["use_pitch_embed"])),
+                })
+                if "stacks" not in gp and "pwg_stacks" not in cfg:
+                    # the dilation schedule leaves no trace in the kernel
+                    # shapes, so a wrong default loads cleanly and produces
+                    # corrupt audio with no error — make it loud
+                    print("| WARN: PWG 'stacks' not in config.yaml and no "
+                          f"pwg_stacks in cfg; assuming {gen_kw['stacks']} "
+                          "(dilation schedule is NOT recoverable from the "
+                          "weights — set pwg_stacks if training differed)")
                 scales = gp.get("upsample_params", {}).get(
                     "upsample_scales")
                 if scales:
@@ -346,6 +369,15 @@ class MelGAN(BaseVocoder):
                 print(f"| WARN: vocoder_ckpt {cfg['vocoder_ckpt']} has no "
                       "MelGAN checkpoint; using random weights")
         self.model = MelGANGenerator(cfg, **gen_kw)
+        hop = int(np.prod(cfg.get("melgan_upsample_scales")
+                          or cfg["upsample_rates"]))
+        if hop != int(cfg["hop_size"]):
+            # same guard as the PWG path: a checkpoint trained at another
+            # hop loads cleanly but silently breaks frame<->sample
+            # bookkeeping (wav lengths, RTF wav_sec) by hop/hop_size
+            print(f"| WARN: MelGAN upsample scales multiply to {hop} but "
+                  f"the pipeline hop_size is {cfg['hop_size']}; wav "
+                  "lengths will disagree with frames*hop_size")
         self._rng = jax.random.PRNGKey(0)
         if params is None:
             probe = jnp.zeros((1, 8, cfg["audio_num_mel_bins"]))

@@ -31,11 +31,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from stylesinger_tpu.utils.backend import enable_compile_cache
+
+    enable_compile_cache("/tmp/jax_bench_cache")
 
     from stylesinger_tpu.config import load_config
     from stylesinger_tpu.models.hifigan import HifiGanGenerator
