@@ -225,6 +225,11 @@ DEFAULTS: Dict[str, Any] = dict(
     tb_log_interval=100,
     num_ckpt_keep=3,
     save_best=True,
+    # permanent eval-only snapshots (params+codebook, no opt state) every
+    # N steps under <work_dir>/ckpt_milestones — the cross-run quality
+    # sweep (e.g. validation FFE vs training step) restores these; 0 = off.
+    # Unlike keep-K these are never pruned.
+    milestone_interval=0,
     # warm-start weights before training (reference load_ckpt hparam,
     # strict=False): a torch .ckpt (converted) or a work dir with ckpt/
     load_ckpt="",

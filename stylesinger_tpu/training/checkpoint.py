@@ -28,12 +28,17 @@ except Exception:  # pragma: no cover
 class CheckpointManager:
     """Saves/restores ``TrainState`` pytrees under ``<work_dir>/ckpt``."""
 
-    def __init__(self, work_dir: str, keep: int = 3, save_best: bool = True):
+    def __init__(self, work_dir: str, keep: int = 3, save_best: bool = True,
+                 milestone_interval: int = 0):
         self.dir = os.path.join(os.path.abspath(work_dir), "ckpt")
         self.best_dir = os.path.join(os.path.abspath(work_dir), "ckpt_best")
+        self.milestone_dir = os.path.join(os.path.abspath(work_dir),
+                                          "ckpt_milestones")
         os.makedirs(self.dir, exist_ok=True)
         self.keep = keep
         self.save_best = save_best
+        self.milestone_interval = int(milestone_interval)
+        self._milestone_mgr = None
         self._best: Optional[float] = None
         if _HAS_ORBAX:
             # NOTE: the periodic manager must NOT get a best_fn — orbax then
@@ -44,6 +49,14 @@ class CheckpointManager:
                 self.dir,
                 options=ocp.CheckpointManagerOptions(max_to_keep=keep,
                                                      create=True))
+            if self.milestone_interval > 0:
+                # permanent quality-sweep snapshots: never pruned
+                # (max_to_keep=None), eval-only payload (no opt state) so a
+                # full 320k run stores 8 x ~model-size, not 8 x train-state
+                self._milestone_mgr = ocp.CheckpointManager(
+                    self.milestone_dir,
+                    options=ocp.CheckpointManagerOptions(max_to_keep=None,
+                                                         create=True))
             self._best_mgr = None
             if save_best:
                 self._best_mgr = ocp.CheckpointManager(
@@ -91,6 +104,13 @@ class CheckpointManager:
                        "opt_state": state.opt_state,
                        "step": np.asarray(step)}
             self._mgr.save(step, args=ocp.args.StandardSave(payload))
+            if self._milestone_mgr is not None and step > 0 and \
+                    step % self.milestone_interval == 0 and \
+                    step not in (self._milestone_mgr.all_steps() or []):
+                self._milestone_mgr.save(step, args=ocp.args.StandardSave(
+                    {"params": state.params, "codebook": state.codebook,
+                     "step": np.asarray(step)}))
+                self._milestone_mgr.wait_until_finished()
             if self._best_mgr is not None and val_loss is not None and \
                     (self._best is None or float(val_loss) < self._best):
                 self._best = float(val_loss)
@@ -139,6 +159,33 @@ class CheckpointManager:
         steps = [int(f.split("_")[1].split(".")[0])
                  for f in os.listdir(self.dir) if f.startswith("state_")]
         return max(steps) if steps else None
+
+    def milestone_steps(self) -> list:
+        """Steps with a permanent quality-sweep snapshot (sorted)."""
+        if self._milestone_mgr is None:
+            if not os.path.isdir(self.milestone_dir):
+                return []
+            # read-only sweep from another process: list the orbax layout
+            steps = [int(d) for d in os.listdir(self.milestone_dir)
+                     if d.isdigit()]
+            return sorted(steps)
+        return sorted(self._milestone_mgr.all_steps() or [])
+
+    def restore_milestone(self, state: Any, step: int) -> Any:
+        """Restore a milestone snapshot's params/codebook into ``state``
+        (optimizer state untouched — milestones are eval-only)."""
+        if not _HAS_ORBAX:  # pragma: no cover
+            raise RuntimeError("milestone snapshots need orbax")
+        mgr = self._milestone_mgr or ocp.CheckpointManager(
+            self.milestone_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=None))
+        target = {"params": state.params, "codebook": state.codebook,
+                  "step": np.asarray(step)}
+        payload = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        import jax.numpy as jnp
+        return state.replace(params=payload["params"],
+                             codebook=payload["codebook"],
+                             step=jnp.asarray(step, jnp.int32))
 
     def best_step(self) -> Optional[int]:
         """Step of the best-val copy (reference model_ckpt_best.pt)."""

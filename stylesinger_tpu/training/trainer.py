@@ -299,8 +299,9 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.train_step = make_train_step(model, cfg)
         self.eval_step = make_eval_step(model, cfg)
-        self.ckpt = CheckpointManager(work_dir, keep=cfg["num_ckpt_keep"],
-                                      save_best=cfg["save_best"])
+        self.ckpt = CheckpointManager(
+            work_dir, keep=cfg["num_ckpt_keep"], save_best=cfg["save_best"],
+            milestone_interval=cfg.get("milestone_interval", 0))
         self.metrics = MetricsWriter(work_dir)
         self.rng = jax.random.PRNGKey(cfg["seed"])
         self.vocoder = vocoder  # optional: validation audio dumps

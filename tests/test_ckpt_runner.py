@@ -180,3 +180,37 @@ def test_unreadable_best_metric_preserved_as_legacy(tmp_path, tiny_cfg,
     mgr2.save(300, state, val_loss=1.5)
     assert mgr2.best_step() == 300          # beaten normally
     assert os.path.isdir(legacy)            # legacy never touched
+
+
+def test_milestone_snapshots_survive_keep_k(tmp_path, tiny_cfg, rng):
+    """Milestones are permanent eval-only snapshots for cross-run quality
+    sweeps (e.g. validation FFE vs training step): keep-K pruning must not
+    touch them, and restore_milestone loads params/codebook by step."""
+    cfg = dict(tiny_cfg)
+    cfg["max_frames"] = 64
+    model = StyleSinger(cfg, VOCAB)
+    batch = _batch(cfg, rng)
+    batch.pop("nsamples")
+    state = init_state(model, cfg, batch)
+
+    mgr = CheckpointManager(str(tmp_path), keep=1, save_best=False,
+                            milestone_interval=100)
+    first_w = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    mgr.save(100, state)                    # milestone
+    state = state.replace(params=jax.tree_util.tree_map(
+        lambda x: x + 1.0, state.params))
+    mgr.save(150, state)                    # not a milestone
+    mgr.save(200, state)                    # milestone (mutated params)
+    assert mgr.milestone_steps() == [100, 200]
+    assert mgr.latest_step() == 200         # keep-1 pruned 100/150
+
+    # read-only listing from a fresh manager (the sweep tool's view)
+    ro = CheckpointManager(str(tmp_path), keep=1, save_best=False)
+    assert ro.milestone_steps() == [100, 200]
+    s100 = ro.restore_milestone(init_state(model, cfg, batch,
+                                           rng=jax.random.PRNGKey(7)), 100)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(s100.params)[0]), first_w)
+    s200 = ro.restore_milestone(s100, 200)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(s200.params)[0]), first_w + 1.0)

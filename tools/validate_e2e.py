@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--items", type=int, default=8)
     ap.add_argument("--steps", type=int, default=3000,
                     help="must match the acoustic run (curriculum scaling)")
+    ap.add_argument("--milestone", type=int, default=0,
+                    help="score this ckpt_milestones snapshot instead of "
+                    "the latest checkpoint (e.g. the best-FFE step from "
+                    "tools/sweep_milestones.py)")
     ap.add_argument("--no_diff", action="store_true",
                     help="score the coarse FS2 decoder instead of the "
                     "shallow-diffusion post-net (the post-net's zero-init "
@@ -83,8 +87,12 @@ def main():
     bb = BucketBatcher(valid_ds, cfg, shuffle=False)
     state = init_state(model, cfg, trainer._numeric(
         next(iter(bb.batches(0)))), trainer.rng)
-    state, start = trainer.ckpt.restore(state)
-    assert start > 0, f"no acoustic checkpoint under {work_dir}"
+    if args.milestone:
+        state = trainer.ckpt.restore_milestone(state, args.milestone)
+        start = args.milestone
+    else:
+        state, start = trainer.ckpt.restore(state)
+        assert start > 0, f"no acoustic checkpoint under {work_dir}"
     print(f"| acoustic checkpoint: step {start}")
     variables = {"params": state.params, "codebook": state.codebook}
 
@@ -181,6 +189,7 @@ def main():
     metrics = {"wav_mel_l1": float(np.mean(mel_l1s)),
                "wav_ffe": float(np.mean(ffes)),
                "n_items": len(mel_l1s), "use_diff": use_diff,
+               "acoustic_step": int(start),
                "gen_audio_sec": round(wav_secs, 1),
                "elapsed_sec": round(time.time() - t0, 1)}
     print(json.dumps({"metric": "e2e_validation", **metrics}))
