@@ -16,10 +16,60 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# One shared persistent compile-cache dir for the headline and every child
+# probe. Overridable so the evidence chain can warm a DEDICATED dir whose
+# whole contents are exactly the bench's compiles (tools/r5_chain.sh tars
+# it into serving_artifacts/jax_cache_seed.tar.gz).
+CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", "/tmp/jax_bench_cache")
+
+# Global wall-clock budget for the WHOLE bench (probe + headline + extras
+# + fallback). The driver's own timeout killed round 4's bench at rc=124
+# with no number because child time-boxes summed to ~13,500 s; everything
+# below derives its budget from what remains of this deadline instead.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2280"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _T0)
+
+
+def seed_compile_cache() -> None:
+    """Extract the tracked compile-cache seed into ``CACHE_DIR`` (existing
+    entries kept). The seed is produced on the same tunneled v5e by the
+    evidence chain, so a cold driver context (fresh /tmp) still gets
+    warm-cache compiles (~seconds) instead of the 15-25 min cold flagship
+    compile that blew round 4's driver budget."""
+    import tarfile
+
+    seed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "serving_artifacts", "jax_cache_seed.tar.gz")
+    if not os.path.exists(seed):
+        return
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        n = 0
+        with tarfile.open(seed) as tf:
+            for m in tf.getmembers():
+                if not m.isfile():
+                    continue
+                out = os.path.join(CACHE_DIR, os.path.basename(m.name))
+                if os.path.exists(out):
+                    continue
+                src = tf.extractfile(m)
+                with open(out + ".part", "wb") as w:
+                    w.write(src.read())
+                os.replace(out + ".part", out)
+                n += 1
+        sys.stderr.write(f"| compile-cache seed: +{n} entries\n")
+    except Exception as e:  # a corrupt seed must never kill the bench
+        sys.stderr.write(f"| compile-cache seed skipped: {e}\n")
 
 
 def main(batch: int = 1, metric: str = "e2e_rtf", cpu_fallback: bool = False,
@@ -33,7 +83,7 @@ def main(batch: int = 1, metric: str = "e2e_rtf", cpu_fallback: bool = False,
 
     # persistent compile cache: repeated bench runs skip the ~15 min
     # full-model compile
-    enable_compile_cache("/tmp/jax_bench_cache")
+    enable_compile_cache(CACHE_DIR)
     if cpu_fallback:
         # the env-derived platform is locked by the axon sitecustomize;
         # override at the config level (same mechanism as tests/conftest.py)
@@ -225,19 +275,46 @@ def jnp_full(shape, value):
 
 
 def run_resilient() -> None:
-    """Never exit nonzero without printing a JSON line: probe the device
-    backend out-of-process, run the real bench on any HEALTHY backend
-    (accelerator or genuine CPU-only box — a healthy 'cpu' probe gets the
-    full documented workload, not the fallback), and fall back to a
-    clearly-flagged reduced CPU-host measurement only when backend init
-    hangs or errors (round-2 postmortem: the tunnel died at bench time
-    and the driver recorded rc=1 with no metric)."""
+    """Never exit nonzero without printing a JSON line, and never blow the
+    global deadline: probe the device backend out-of-process, run the real
+    bench on any HEALTHY backend (accelerator or genuine CPU-only box — a
+    healthy 'cpu' probe gets the full documented workload, not the
+    fallback), enrich with the fast-serving and train-throughput rows only
+    while the remaining budget allows, and fall back to a clearly-flagged
+    reduced CPU-host measurement only when backend init hangs or errors
+    (round-2 postmortem: rc=1, no metric; round-4 postmortem: fixed child
+    time-boxes summed past the driver's own timeout — rc=124, no metric).
+
+    Deadline insurance: the headline row is recorded the moment it is
+    measured, and a SIGTERM/SIGINT from an outer timeout emits the best
+    row captured so far before exiting — a driver kill mid-enrichment
+    still records a valid measurement."""
     from stylesinger_tpu.utils.backend import probe_device_backend
 
     if os.environ.get("BENCH_INNER") == "1":
         main(**json.loads(os.environ.get("BENCH_OVERRIDES", "{}")))
         return
-    backend = probe_device_backend()
+
+    best_row: dict = {}
+
+    def _emit_on_kill(signum, frame):
+        if best_row:
+            print(json.dumps(best_row), flush=True)
+            sys.stderr.write(f"| bench: signal {signum} at "
+                             f"{time.monotonic() - _T0:.0f}s; emitted the "
+                             "headline measured so far\n")
+            os._exit(0)
+        sys.stderr.write(f"| bench: signal {signum} before any "
+                         "measurement\n")
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _emit_on_kill)
+    signal.signal(signal.SIGINT, _emit_on_kill)
+
+    seed_compile_cache()
+    backend = probe_device_backend(
+        timeout_s=int(min(240, max(60, _remaining() * 0.15))),
+        attempts=1 if _remaining() < 1500 else 2)
     if backend == "cpu":
         # healthy CPU-only box (no tunnel armed): the full 1024-frame /
         # 10-iter workload is hours on host cores — measure the reduced
@@ -250,35 +327,54 @@ def run_resilient() -> None:
     if backend:
         import subprocess
         env = dict(os.environ, BENCH_INNER="1")
-        try:  # time-boxed: cold remote compiles (infer + train) ~15-25 min each
+        # reserve ~5 min for the CPU-fallback path should the device
+        # headline fail; a warm-cache headline needs ~3-6 min, a cold
+        # compile takes what it takes (the seed should prevent that)
+        inner_budget = max(420.0, _remaining() - 300.0)
+        try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=7200, text=True,
+                               env=env, timeout=inner_budget, text=True,
                                capture_output=True)
             sys.stderr.write(r.stderr[-2000:])
             line = next((ln for ln in r.stdout.splitlines()
                          if ln.startswith("{")), None)
             if r.returncode == 0 and line:
-                # train probe runs AFTER the inner process exits: a live
-                # jax client would hold the single-client tunnel and the
-                # child's backend init would hang until its timeout
+                # headline landed: record it (SIGTERM insurance), then
+                # enrich within the remaining budget. Probes run AFTER the
+                # inner process exits: a live jax client would hold the
+                # single-client tunnel and a child's backend init would
+                # hang until its timeout.
                 row = json.loads(line)
+                best_row.update(row)
+                hb = row.get("backend", backend)
                 # quality-gated fast serving paths (results/
                 # acoustic_320k_fast_sampler_gates.json): PLMS-5 mel +
                 # strided F0, and DPM-Solver++(2M) 10-NFE + strided F0
-                hb = row.get("backend", backend)
-                row.update(_extra_rtf_row(
-                    "fast_rtf", {"pndm_speedup": 5, "f0_speedup": 5},
-                    expect_backend=hb))
-                row.update(_extra_rtf_row(
-                    "dpm10_rtf", {"dpm_steps": 10, "f0_speedup": 5},
-                    expect_backend=hb))
-                row.update(_train_throughput_row(expect_backend=hb))
-                print(json.dumps(row))
+                extras = [
+                    ("fast_rtf", lambda b: _extra_rtf_row(
+                        "fast_rtf", {"pndm_speedup": 5, "f0_speedup": 5},
+                        expect_backend=hb, timeout=b)),
+                    ("dpm10_rtf", lambda b: _extra_rtf_row(
+                        "dpm10_rtf", {"dpm_steps": 10, "f0_speedup": 5},
+                        expect_backend=hb, timeout=b)),
+                    ("train", lambda b: _train_throughput_row(
+                        expect_backend=hb, timeout=b)),
+                ]
+                for name, probe in extras:
+                    budget = _remaining() - 60.0
+                    if budget < 240.0:
+                        row[f"{name}_note"] = (
+                            f"skipped: {_remaining():.0f}s left of the "
+                            f"{DEADLINE_S:.0f}s bench budget")
+                        continue
+                    row.update(probe(budget))
+                    best_row.update(row)
+                print(json.dumps(row), flush=True)
                 return
             sys.stderr.write(f"| device bench rc={r.returncode}; "
                              "falling back to reduced CPU config\n")
         except subprocess.TimeoutExpired:
-            sys.stderr.write("| device bench hung > 3600s; "
+            sys.stderr.write(f"| device bench hung > {inner_budget:.0f}s; "
                              "falling back to reduced CPU config\n")
     else:
         sys.stderr.write("| no healthy device backend; CPU fallback\n")
