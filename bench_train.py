@@ -15,6 +15,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -27,7 +28,8 @@ def main(compute_dtype: str = "float32", batch_size: int = 8,
 
     from stylesinger_tpu.utils.backend import enable_compile_cache
 
-    enable_compile_cache("/tmp/jax_bench_cache")
+    enable_compile_cache(os.environ.get("BENCH_CACHE_DIR",
+                                        "/tmp/jax_bench_cache"))
 
     import jax.numpy as jnp
 

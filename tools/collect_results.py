@@ -26,8 +26,13 @@ ARTIFACTS = {
     "diff_vs_coarse": ["work/diff_vs_coarse.json"],
     "fast_sampler_gates": ["work/fast_sampler_gates.json"],
     "vocoder_validation": ["work_vocoder/validation.json"],
-    "e2e_validation": ["work/e2e_validation.json",
+    # validate_e2e writes <dir>/e2e_out/validation.json (r4's chain
+    # looked in work/ and could never collect it — the stale
+    # results/README promise traced back to exactly this)
+    "e2e_validation": ["e2e_out/validation.json",
+                       "work/e2e_validation.json",
                        "work_vocoder/e2e_validation.json"],
+    "milestone_sweep": ["work/milestone_sweep.json"],
 }
 
 
