@@ -19,8 +19,11 @@ Parity targets (AaronZ345/StyleSinger):
 
 from __future__ import annotations
 
+import json
+import math
+import os
 import re
-from typing import Dict, List, Tuple, Type
+from typing import Dict, List, Optional, Tuple, Type
 
 REGISTERED_TEXT_PROCESSORS: Dict[str, Type] = {}
 
@@ -285,13 +288,236 @@ def _match_rule(w: str, i: int, pat: str) -> int:
     return len(p)
 
 
+_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+_FULL_EN_LEXICON: Optional[dict] = None
+_LTS_MODEL: Optional["LtsModel"] = None
+
+
+def full_en_lexicon() -> dict:
+    """The embedded high-frequency table merged with the large shipped
+    lexicon (assets/en_lexicon.txt, CMU ``word  PH PH ...`` lines) —
+    lazily loaded and cached."""
+    global _FULL_EN_LEXICON
+    if _FULL_EN_LEXICON is None:
+        lex = dict(_EN_LEXICON)
+        path = os.path.join(_ASSETS, "en_lexicon.txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith(";"):
+                        continue
+                    parts = line.split()
+                    lex[parts[0].lower()] = " ".join(parts[1:])
+        _FULL_EN_LEXICON = lex
+    return _FULL_EN_LEXICON
+
+
+class LtsModel:
+    """Runtime decoder for the trained joint-sequence LTS
+    (tools/train_en_lts.py): beam search over graphone segmentations
+    scored by a Witten-Bell-interpolated graphone n-gram."""
+
+    def __init__(self, model: dict):
+        self.order = model["order"]
+        self.vocab: List[Tuple[str, Tuple[str, ...]]] = []
+        for key in model["vocab"]:
+            letters, _, phones = key.partition("|")
+            self.vocab.append((letters, tuple(phones.split())))
+        self.eos = next(i for i, (l, p) in enumerate(self.vocab)
+                        if l == "</s>")
+        # letters -> candidate graphone ids
+        self.by_letters: dict = {}
+        for i, (letters, _) in enumerate(self.vocab):
+            if letters != "</s>":
+                self.by_letters.setdefault(letters, []).append(i)
+        # counts[n][(ctx_key, tok_id)] and ctx totals / distinct counts
+        self.counts = []
+        self.ctx_tot = []
+        self.ctx_distinct = []
+        for n in range(self.order):
+            tab = {}
+            distinct = {}
+            for ctx_key, rows in model["counts"][n].items():
+                for tok, c in rows:
+                    tab[(ctx_key, tok)] = c
+                distinct[ctx_key] = len(rows)
+            self.counts.append(tab)
+            self.ctx_distinct.append(distinct)
+            self.ctx_tot.append({k: float(v) for k, v in
+                                 model["ctx_counts"][n].items()})
+        self.v = len(self.vocab)
+
+    def _logp(self, hist: Tuple[int, ...], tok: int) -> float:
+        p = 1.0 / max(self.v, 1)
+        for n in range(1, self.order + 1):
+            ctx = hist[len(hist) - n + 1:] if n > 1 else ()
+            key = ",".join(str(t) for t in ctx)
+            N = self.ctx_tot[n - 1].get(key, 0.0)
+            if N <= 0:
+                continue
+            T = self.ctx_distinct[n - 1].get(key, 0)
+            lam = N / (N + T) if (N + T) > 0 else 0.0
+            c = self.counts[n - 1].get((key, tok), 0.0)
+            p = lam * (c / N) + (1.0 - lam) * p
+        return math.log(max(p, 1e-12))
+
+    def decode(self, word: str, beam: int = 8) -> List[str]:
+        word = word.lower()
+        W = len(word)
+        # beams: (pos, hist) -> (score, phones)
+        bos = (-1,) * (self.order - 1)
+        beams = {(0, bos): (0.0, ())}
+        for _ in range(2 * W + 2):
+            nxt: dict = {}
+            done = True
+            for (pos, hist), (score, phones) in beams.items():
+                if pos == W:
+                    if (pos, hist) not in nxt or \
+                            nxt[(pos, hist)][0] < score:
+                        nxt[(pos, hist)] = (score, phones)
+                    continue
+                done = False
+                any_cand = False
+                for dl in (1, 2):
+                    cand = self.by_letters.get(word[pos:pos + dl])
+                    if not cand:
+                        continue
+                    any_cand = True
+                    for gi in cand:
+                        s = score + self._logp(hist, gi)
+                        h2 = (hist + (gi,))[-(self.order - 1):]
+                        k = (pos + dl, h2)
+                        ph2 = phones + self.vocab[gi][1]
+                        if k not in nxt or nxt[k][0] < s:
+                            nxt[k] = (s, ph2)
+                if not any_cand:
+                    # letter unseen in training: skip it at a fixed
+                    # penalty so rare words still decode end-to-end
+                    k = (pos + 1, hist)
+                    if k not in nxt or nxt[k][0] < score - 10.0:
+                        nxt[k] = (score - 10.0, phones)
+            beams = dict(sorted(nxt.items(), key=lambda kv: -kv[1][0])
+                         [:beam])
+            if done:
+                break
+        best, best_ph = -1e30, ()
+        for (pos, hist), (score, phones) in beams.items():
+            if pos != W:
+                continue
+            s = score + self._logp(hist, self.eos)
+            if s > best:
+                best, best_ph = s, phones
+        return list(best_ph)
+
+
+def _lts_model() -> Optional["LtsModel"]:
+    """The shipped trained LTS (assets/en_lts.json), lazily loaded."""
+    global _LTS_MODEL
+    if _LTS_MODEL is None:
+        path = os.path.join(_ASSETS, "en_lts.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            _LTS_MODEL = LtsModel(json.load(f))
+    return _LTS_MODEL
+
+
+_MORPH_SUFFIXES: List[Tuple[str, str, str]] = [
+    # (suffix, phones appended, stem transform): longest first
+    ("ingly", "IH NG L IY", ""), ("edly", "IH D L IY", ""),
+    ("ings", "IH NG Z", ""), ("ing", "IH NG", ""),
+    ("ednesses", "", None), ("ness", "N AH S", ""),
+    ("ments", "M AH N T S", ""), ("ment", "M AH N T", ""),
+    ("fully", "F UH L IY", ""), ("ful", "F AH L", ""),
+    ("less", "L AH S", ""), ("ly", "L IY", ""),
+    ("ers", "ER Z", ""), ("er", "ER", ""), ("est", "AH S T", ""),
+]
+
+
+def _voiced_final(phones: List[str]) -> bool:
+    return bool(phones) and phones[-1] not in {
+        "P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
+
+
+def _morph_lookup(w: str, lex: dict) -> Optional[List[str]]:
+    """Regular inflections of lexicon stems: -s/-es/-ed/-ing/-er/... with
+    CMU-consistent voicing ('dogs' -> D AO G Z, 'cats' -> K AE T S,
+    'wanted' -> ... IH D). Doubles effective lexicon coverage without
+    doubling the table."""
+    # plural / 3sg / possessive
+    for suf in ("'s", "s'", "s", "es"):
+        if w.endswith(suf) and len(w) > len(suf) + 1:
+            stem = w[: len(w) - len(suf)]
+            base = lex.get(stem)
+            if suf == "es" and base is None:
+                base = lex.get(stem + "e")
+            if base:
+                ph = base.split()
+                if ph[-1] in {"S", "Z", "SH", "ZH", "CH", "JH"}:
+                    return ph + ["IH", "Z"]
+                return ph + (["Z"] if _voiced_final(ph) else ["S"])
+    # past tense ("walked" -> walk, "loved" -> love, "stopped" -> stop)
+    if w.endswith("ed") and len(w) > 3:
+        stems = [w[:-2], w[:-1]]
+        if len(w) > 4 and w[-3] == w[-4]:
+            stems.append(w[:-3])
+        for stem in stems:
+            base = lex.get(stem)
+            if base:
+                ph = base.split()
+                if ph[-1] in {"T", "D"}:
+                    return ph + ["IH", "D"]
+                return ph + (["D"] if _voiced_final(ph) else ["T"])
+    # other regular suffixes ("walking" -> walk, "loving" -> love,
+    # "running" -> run via consonant undoubling)
+    for suf, phones, _ in _MORPH_SUFFIXES:
+        if phones and w.endswith(suf) and len(w) > len(suf) + 2:
+            s = w[: len(w) - len(suf)]
+            stems = [s, s + "e"]
+            if len(s) > 2 and s[-1] == s[-2]:
+                stems.append(s[:-1])
+            for stem in stems:
+                base = lex.get(stem)
+                if base:
+                    return base.split() + phones.split()
+    return None
+
+
 def _letter_to_sound(word: str) -> List[str]:
-    """Rule-based English LTS fallback (ARPAbet, stressless). A real
-    g2p_en install takes precedence; the embedded lexicon covers the
-    most frequent + irregular words exactly."""
+    """English g2p (ARPAbet, stressless): shipped lexicon -> regular
+    morphology over lexicon stems -> trained joint-sequence LTS
+    (assets/en_lts.json) -> rule table as the last-ditch fallback.
+    Reference counterpart: g2p_en = CMUdict + neural LTS
+    (data_gen/tts/txt_processors/en.py:44-80)."""
     w = word.lower()
-    if w in _EN_LEXICON:
-        return _EN_LEXICON[w].split()
+    lex = full_en_lexicon()
+    if w in lex:
+        return lex[w].split()
+    morph = _morph_lookup(w, lex)
+    if morph is not None:
+        return morph
+    # closed compounds of two known words ("moonlit", "heartbreak") —
+    # prefer the split with the longer first element
+    if len(w) >= 6 and w.isalpha():
+        for i in range(len(w) - 2, 2, -1):
+            a, b = w[:i], w[i:]
+            pa = lex.get(a)
+            pb = lex.get(b) or (" ".join(_morph_lookup(b, lex) or [])
+                                or None)
+            if pa and pb:
+                return pa.split() + pb.split()
+    lts = _lts_model()
+    if lts is not None and w.isalpha():
+        out = lts.decode(w)
+        if out:
+            return out
+    return _letter_to_sound_rules(w)
+
+
+def _letter_to_sound_rules(word: str) -> List[str]:
+    """Rule-based English LTS fallback (ARPAbet, stressless)."""
+    w = word.lower()
     phs: List[str] = []
     i = 0
     while i < len(w):
