@@ -83,10 +83,47 @@ def normalize_zh(text: str) -> str:
     return NSWNormalizer(text).normalize(remove_punc=False)
 
 
+_ZH_PINYIN: Optional[dict] = None
+
+
+def _zh_pinyin_table() -> dict:
+    """The shipped hanzi -> pinyin-TONE3 table (assets/zh_pinyin.json,
+    13k+ chars; built by tools/build_zh_pinyin.py from authored seeds
+    cross-validated against the CLDR pinyin collation data on-image).
+    Makes raw-hanzi input work without pypinyin — the reference depends
+    on pypinyin unconditionally (data_gen/tts/txt_processors/zh.py:1-10)."""
+    global _ZH_PINYIN
+    if _ZH_PINYIN is None:
+        path = os.path.join(_ASSETS, "zh_pinyin.json")
+        _ZH_PINYIN = json.load(open(path, encoding="utf-8")) \
+            if os.path.exists(path) else {}
+    return _ZH_PINYIN
+
+
+def hanzi_text_to_pinyin(txt: str) -> List[str]:
+    """Per-char most-common-reading conversion via the shipped table;
+    non-hanzi runs pass through as their own tokens. Unknown hanzi fall
+    back to an 'SP' placeholder rather than crashing the pipeline."""
+    table = _zh_pinyin_table()
+    out: List[str] = []
+    pending = ""
+    for ch in txt:
+        if re.match(r"[一-鿿]", ch):
+            if pending.strip():
+                out.extend(pending.split())
+            pending = ""
+            out.append(table.get(ch, "SP"))
+        else:
+            pending += ch
+    if pending.strip():
+        out.extend(pending.split())
+    return out
+
+
 @register_txt_processors("zh")
 class ZhTxtProcessor(BaseTxtProcessor):
     """Accepts space-separated pinyin directly; raw hanzi goes through
-    pypinyin when available."""
+    pypinyin when available, else the shipped zh_pinyin table."""
 
     @classmethod
     def process(cls, txt: str) -> Tuple[List[str], str]:
@@ -97,8 +134,7 @@ class ZhTxtProcessor(BaseTxtProcessor):
                 sylls = [p[0] for p in pinyin(txt, style=Style.TONE3,
                                               neutral_tone_with_five=True)]
             except ImportError:
-                raise RuntimeError(
-                    "raw hanzi input needs pypinyin; pass pinyin directly")
+                sylls = hanzi_text_to_pinyin(txt)
             txt = " ".join(sylls)
         phs: List[str] = []
         for syll in txt.split():
@@ -600,7 +636,10 @@ def _hanzi_to_pinyin(p: str, use_tone: bool = True) -> str:
     try:
         from pypinyin import Style, pinyin  # type: ignore
     except ImportError:
-        return p
+        got = _zh_pinyin_table().get(p[0])
+        if got is None:
+            return p
+        return got if use_tone else got.rstrip("12345")
     if use_tone:
         p = pinyin(p, style=Style.TONE3, strict=True)[0][0]
         if p[-1] not in "12345":
