@@ -65,6 +65,36 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(grid, ("data", "model"))
 
 
+def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Tensor-parallel parameter layout for the ``model`` mesh axis.
+
+    Megatron-style split of every TransformerFFN in the FFT blocks — the
+    widest matmuls in the model: the first projection (conv1d kernel
+    [k, h, 4h]) is column-parallel on its output features, the second
+    (dense [4h, h]) row-parallel on its input features, so the block's
+    activations stay sharded between the two and XLA inserts exactly one
+    reduce over ``model`` per FFN. Everything else is replicated. With
+    ``n_model == 1`` all specs collapse to replication (the pure-DP
+    layout used by default)."""
+    def spec_for(path, x) -> P:
+        p = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "TransformerFFN" in p and p.endswith("kernel"):
+            if "Conv_" in p and x.ndim == 3:
+                return P(None, None, "model")
+            if "LambdaDense" in p and x.ndim == 2:
+                return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, spec_for(path, x)), params)
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place ``params`` per :func:`param_shardings`."""
+    return jax.tree_util.tree_map(
+        jax.device_put, params, param_shardings(mesh, params))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over 'data'."""
     return NamedSharding(mesh, P("data"))
