@@ -39,10 +39,14 @@ def main():
                     help="must match the run (curriculum scaling)")
     ap.add_argument("--items", type=int, default=12)
     ap.add_argument("--overrides", default="")
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrunken dims on CPU: harness smoke test only")
     args = ap.parse_args()
 
     import jax
 
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -53,7 +57,7 @@ def main():
     bin_dir = os.path.join(args.dir, "binary")
     work_dir = os.path.join(args.dir, "work")
     cfg = build_cfg(raw_dir, bin_dir, work_dir, args.steps,
-                    overrides=args.overrides)
+                    tiny=args.tiny, overrides=args.overrides)
 
     from stylesinger_tpu.data import BucketBatcher, StyleSingerDataset
     from stylesinger_tpu.models.stylesinger import StyleSinger
