@@ -95,7 +95,11 @@ def main():
         print(f"| step {s}: ffe {m['ffe']:.4f} mcd {m['mcd']:.2f} "
               f"dur {m['dur_mae_frames']:.2f} ({m['eval_s']}s)", flush=True)
 
-    best = min(rows, key=lambda r: r["ffe"])
+    # FFE can saturate at the note-prior floor and tie across every
+    # checkpoint (tools/ffe_floor.py); break ties by dur-MAE then by
+    # step so "best" never selects an early low-quality milestone
+    best = min(rows, key=lambda r: (r["ffe"], r["dur_mae_frames"],
+                                    -r["step"]))
     out = {"metric": "milestone_sweep", "sampler_overrides": args.overrides,
            "n_items": args.items, "rows": rows,
            "best_ffe_step": best["step"], "best_ffe": best["ffe"]}
