@@ -374,19 +374,26 @@ def eval_ref(cfg, hp, model, valid_ds, n_items: int = 12):
 
 
 # ------------------------------------------------------------------ jax
-def run_tpu(run_dir: str):
+def run_tpu(run_dir: str, seed: int = 0, cpu: bool = False):
     """Same matched config through the standard training/eval path
     (inline equivalent of tools/validate_training.py's main — subprocess
-    --overrides can't carry the tuple-valued bucket keys)."""
+    --overrides can't carry the tuple-valued bucket keys).
+
+    seed != 0 runs a supplementary variance probe (own work dir, same
+    protocol); --cpu lets the probe run off-chip while the TPU is busy."""
     import jax
 
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/jax_bench_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    cfg = build_matched_cfg(run_dir, "work_tpu_hh")
+    wname = "work_tpu_hh" if seed == 0 else f"work_tpu_hh_s{seed}"
+    cfg = build_matched_cfg(run_dir, wname)
+    cfg["seed"] = seed
     work_dir = cfg["work_dir"]
 
     from tools.validate_training import evaluate
@@ -417,6 +424,8 @@ def run_tpu(run_dir: str):
     metrics = evaluate(cfg, model, state, valid_ds)
     metrics["steps"] = STEPS
     metrics["impl"] = "stylesinger_tpu"
+    metrics["seed"] = seed
+    metrics["backend"] = jax.default_backend()
     print(json.dumps({"metric": "tpu_headtohead", **metrics}))
     with open(os.path.join(work_dir, "validation.json"), "w") as f:
         json.dump(metrics, f, indent=1)
@@ -463,6 +472,11 @@ def main():
     ap.add_argument("--dir", default="data/r5full")
     ap.add_argument("--smoke", action="store_true",
                     help="3-step harness smoke test")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="tpu impl only: supplementary variance-probe "
+                    "seed (own work dir)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="tpu impl only: run on the host CPU backend")
     args = ap.parse_args()
 
     if args.smoke:
@@ -473,7 +487,7 @@ def main():
     elif args.impl == "ref":
         run_ref(args.dir)
     elif args.impl == "tpu":
-        run_tpu(args.dir)
+        run_tpu(args.dir, seed=args.seed, cpu=args.cpu)
     else:
         raise SystemExit("need --impl ref|tpu or --combine")
 
